@@ -1,0 +1,488 @@
+"""TPU-native Q-Former: BERT encoder with learned query tokens + cross-attention.
+
+Re-designs the BLIP-2 Salesforce BERT fork (reference: models/qformer.py) as a
+functional Flax stack:
+
+* a block of learned *query tokens* is (optionally) prepended to text tokens
+  (reference: models/qformer.py:101-104);
+* every layer self-attends over the full [queries + text] sequence; layers with
+  ``layer_num % cross_attention_freq == 0`` additionally cross-attend the query
+  slice into an external memory of width ``encoder_width``
+  (reference: models/qformer.py:386-395, 429-447);
+* queries and text tokens go through *separate* FFNs
+  (``intermediate_query``/``output_query`` vs ``intermediate``/``output``,
+  reference: models/qformer.py:449-462);
+* masks are additive ("-10000" semantics, reference: models/qformer.py:798-801);
+  the decoder path applies a causal + UniLM-prefix mask
+  (reference: models/qformer.py:743-783).
+
+Differences from the reference, by design (TPU-first):
+
+* fixed shapes, no data-dependent control flow — jit traces once;
+* cross-attention dispatches to a Pallas streaming-softmax kernel for long
+  memories (unirec_tpu/ops/attention.py), XLA fused matmuls otherwise;
+* gradient checkpointing via ``flax.linen.remat`` instead of
+  torch.utils.checkpoint (reference: models/qformer.py:525-548).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unirec_tpu.configs import QFormerConfig
+from unirec_tpu.ops.attention import (
+    attention,
+    cross_attention,
+    make_additive_mask,
+    make_causal_mask,
+    merge_heads,
+    split_heads,
+)
+
+Dtype = Any
+
+# torch's nn.GELU / BERT "gelu" is the exact erf form; flax defaults to the
+# tanh approximation, so pin approximate=False for numerical parity.
+ACT2FN = {
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "relu": nn.relu,
+    "silu": nn.silu,
+    "gelu_new": lambda x: nn.gelu(x, approximate=True),
+}
+
+
+def bert_init(stddev: float):
+    return nn.initializers.normal(stddev=stddev)
+
+
+class QFormerEmbeddings(nn.Module):
+    """Word + absolute position embeddings; queries are prepended *before* the
+    shared LayerNorm/dropout (reference: models/qformer.py:95-107)."""
+
+    config: QFormerConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Optional[jax.Array] = None,
+        query_embeds: Optional[jax.Array] = None,
+        position_ids: Optional[jax.Array] = None,
+        past_length: int = 0,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.config
+        if input_ids is not None:
+            word_emb = nn.Embed(
+                cfg.vocab_size,
+                cfg.hidden_size,
+                embedding_init=bert_init(cfg.initializer_range),
+                name="word_embeddings",
+                dtype=self.dtype,
+            )(input_ids)
+            seq_len = input_ids.shape[1]
+            if position_ids is None:
+                position_ids = jnp.arange(past_length, past_length + seq_len)[None, :]
+            pos_emb = nn.Embed(
+                cfg.max_position_embeddings,
+                cfg.hidden_size,
+                embedding_init=bert_init(cfg.initializer_range),
+                name="position_embeddings",
+                dtype=self.dtype,
+            )(position_ids)
+            embeddings = word_emb + pos_emb
+            if query_embeds is not None:
+                embeddings = jnp.concatenate(
+                    [query_embeds.astype(embeddings.dtype), embeddings], axis=1
+                )
+        else:
+            if query_embeds is None:
+                raise ValueError("need input_ids or query_embeds")
+            embeddings = query_embeds.astype(self.dtype)
+
+        embeddings = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, name="LayerNorm", dtype=self.dtype
+        )(embeddings)
+        embeddings = nn.Dropout(cfg.hidden_dropout_prob)(
+            embeddings, deterministic=deterministic
+        )
+        return embeddings
+
+
+class QFormerAttention(nn.Module):
+    """Self- or cross-attention block: projections + attention + residual
+    output (dense -> dropout -> LayerNorm(x + residual)),
+    reference: models/qformer.py:111-346."""
+
+    config: QFormerConfig
+    is_cross: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        bias: Optional[jax.Array] = None,
+        kv_states: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.config
+        heads = cfg.num_attention_heads
+        init = bert_init(cfg.initializer_range)
+        dense = lambda name: nn.Dense(
+            cfg.hidden_size, kernel_init=init, name=name, dtype=self.dtype
+        )
+
+        src = kv_states if self.is_cross else hidden_states
+        q = split_heads(dense("query")(hidden_states), heads)
+        # Cross-attention K/V project from encoder_width
+        # (reference: models/qformer.py:128-133).
+        k = split_heads(dense("key")(src), heads)
+        v = split_heads(dense("value")(src), heads)
+
+        drop_rate = cfg.attention_probs_dropout_prob
+        rng = (
+            self.make_rng("dropout")
+            if (drop_rate > 0.0 and not deterministic)
+            else None
+        )
+        if self.is_cross:
+            ctx = cross_attention(
+                q,
+                k,
+                v,
+                bias,
+                dropout_rate=drop_rate,
+                dropout_rng=rng,
+                deterministic=deterministic,
+            )
+        else:
+            ctx = attention(
+                q,
+                k,
+                v,
+                bias,
+                dropout_rate=drop_rate,
+                dropout_rng=rng,
+                deterministic=deterministic,
+            )
+        ctx = merge_heads(ctx)
+
+        out = nn.Dense(
+            cfg.hidden_size, kernel_init=init, name="output_dense", dtype=self.dtype
+        )(ctx)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, name="output_LayerNorm", dtype=self.dtype
+        )(out + hidden_states)
+        return out
+
+
+class QFormerFFN(nn.Module):
+    """intermediate -> act -> output dense -> dropout -> LN(x + residual),
+    reference: models/qformer.py:349-375."""
+
+    config: QFormerConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cfg = self.config
+        init = bert_init(cfg.initializer_range)
+        h = nn.Dense(
+            cfg.intermediate_size, kernel_init=init, name="intermediate_dense",
+            dtype=self.dtype,
+        )(x)
+        h = ACT2FN[cfg.hidden_act](h)
+        h = nn.Dense(
+            cfg.hidden_size, kernel_init=init, name="output_dense", dtype=self.dtype
+        )(h)
+        h = nn.Dropout(cfg.hidden_dropout_prob)(h, deterministic=deterministic)
+        return nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, name="output_LayerNorm", dtype=self.dtype
+        )(h + x)
+
+
+class QFormerLayer(nn.Module):
+    """One transformer layer with optional query cross-attention and split
+    query/text FFN (reference: models/qformer.py:378-484)."""
+
+    config: QFormerConfig
+    has_cross_attention: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        self_bias: Optional[jax.Array],
+        encoder_hidden_states: Optional[jax.Array],
+        encoder_bias: Optional[jax.Array],
+        query_length: int,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.config
+        attn_out = QFormerAttention(cfg, name="attention", dtype=self.dtype)(
+            hidden_states, self_bias, deterministic=deterministic
+        )
+
+        if query_length > 0:
+            query_part = attn_out[:, :query_length]
+            if self.has_cross_attention:
+                if encoder_hidden_states is None:
+                    raise ValueError(
+                        "encoder_hidden_states required for cross-attention layers"
+                    )
+                query_part = QFormerAttention(
+                    cfg, is_cross=True, name="crossattention", dtype=self.dtype
+                )(
+                    query_part,
+                    encoder_bias,
+                    kv_states=encoder_hidden_states,
+                    deterministic=deterministic,
+                )
+            query_out = QFormerFFN(cfg, name="ffn_query", dtype=self.dtype)(
+                query_part, deterministic=deterministic
+            )
+            if attn_out.shape[1] > query_length:
+                text_out = QFormerFFN(cfg, name="ffn", dtype=self.dtype)(
+                    attn_out[:, query_length:], deterministic=deterministic
+                )
+                return jnp.concatenate([query_out, text_out], axis=1)
+            return query_out
+
+        return QFormerFFN(cfg, name="ffn", dtype=self.dtype)(
+            attn_out, deterministic=deterministic
+        )
+
+
+class QFormerEncoder(nn.Module):
+    """Layer stack; cross-attention on layers where
+    ``i % cross_attention_freq == 0`` (reference: models/qformer.py:386-389)."""
+
+    config: QFormerConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        self_bias: Optional[jax.Array],
+        encoder_hidden_states: Optional[jax.Array],
+        encoder_bias: Optional[jax.Array],
+        query_length: int,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.config
+        layer_cls = QFormerLayer
+        if cfg.gradient_checkpointing:
+            layer_cls = nn.remat(QFormerLayer, static_argnums=(5, 6))
+        for i in range(cfg.num_hidden_layers):
+            has_cross = (
+                cfg.add_cross_attention and i % cfg.cross_attention_freq == 0
+            )
+            hidden_states = layer_cls(
+                cfg, has_cross, name=f"layer_{i}", dtype=self.dtype
+            )(
+                hidden_states,
+                self_bias,
+                encoder_hidden_states,
+                encoder_bias,
+                query_length,
+                deterministic,
+            )
+        return hidden_states
+
+
+class QFormerModel(nn.Module):
+    """Functional equivalent of BertModel (reference: models/qformer.py:677-972).
+
+    Returns the last hidden state ``[B, query_length + text_length, hidden]``.
+    """
+
+    config: QFormerConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Optional[jax.Array] = None,
+        attention_mask: Optional[jax.Array] = None,
+        query_embeds: Optional[jax.Array] = None,
+        encoder_hidden_states: Optional[jax.Array] = None,
+        encoder_attention_mask: Optional[jax.Array] = None,
+        position_ids: Optional[jax.Array] = None,
+        is_decoder: bool = False,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.config
+        query_length = query_embeds.shape[1] if query_embeds is not None else 0
+
+        hidden = QFormerEmbeddings(cfg, name="embeddings", dtype=self.dtype)(
+            input_ids=input_ids,
+            query_embeds=query_embeds,
+            position_ids=position_ids,
+            deterministic=deterministic,
+        )
+        batch, total_len = hidden.shape[:2]
+
+        if attention_mask is None:
+            attention_mask = jnp.ones((batch, total_len), dtype=jnp.float32)
+
+        if is_decoder:
+            text_len = total_len - query_length
+            self_bias = make_causal_mask(
+                attention_mask, text_len, query_length=query_length
+            )
+        else:
+            self_bias = make_additive_mask(attention_mask)
+
+        encoder_bias = None
+        if encoder_hidden_states is not None:
+            if encoder_attention_mask is None:
+                encoder_attention_mask = jnp.ones(
+                    encoder_hidden_states.shape[:2], dtype=jnp.float32
+                )
+            encoder_bias = make_additive_mask(encoder_attention_mask)
+
+        return QFormerEncoder(cfg, name="encoder", dtype=self.dtype)(
+            hidden,
+            self_bias,
+            encoder_hidden_states,
+            encoder_bias,
+            query_length,
+            deterministic=deterministic,
+        )
+
+
+class QFormerLMPredictionHead(nn.Module):
+    """transform(dense->act->LN) -> decoder vocab projection
+    (reference: models/qformer.py:607-641)."""
+
+    config: QFormerConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array) -> jax.Array:
+        cfg = self.config
+        init = bert_init(cfg.initializer_range)
+        h = nn.Dense(
+            cfg.hidden_size, kernel_init=init, name="transform_dense",
+            dtype=self.dtype,
+        )(hidden_states)
+        h = ACT2FN[cfg.hidden_act](h)
+        h = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, name="transform_LayerNorm", dtype=self.dtype
+        )(h)
+        return nn.Dense(
+            cfg.vocab_size, kernel_init=init, name="decoder", dtype=self.dtype
+        )(h)
+
+
+def causal_lm_loss(
+    logits: jax.Array,
+    labels: jax.Array,
+    label_smoothing: float = 0.1,
+    ignore_index: int = -100,
+) -> jax.Array:
+    """Shifted causal LM loss with label smoothing 0.1
+    (reference: models/qformer.py:1077-1086)."""
+    logits = logits[:, :-1]
+    labels = labels[:, 1:]
+    valid = labels != ignore_index
+    labels_safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    vocab = logits.shape[-1]
+    nll = -jnp.take_along_axis(logp, labels_safe[..., None], axis=-1)[..., 0]
+    smooth = -jnp.mean(logp, axis=-1)
+    loss = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    loss = jnp.where(valid, loss, 0.0)
+    return loss.sum() / jnp.maximum(valid.sum(), 1)
+
+
+class QFormerLMHeadModel(nn.Module):
+    """Causal/UniLM LM over [queries + text]
+    (reference: models/qformer.py:975-1135).
+
+    Query positions are excluded from the LM logits (the reference drops
+    ``sequence_output[:, query_length:]``, models/qformer.py:1061-1063).
+    """
+
+    config: QFormerConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        query_embeds: Optional[jax.Array] = None,
+        encoder_hidden_states: Optional[jax.Array] = None,
+        encoder_attention_mask: Optional[jax.Array] = None,
+        labels: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ):
+        query_length = query_embeds.shape[1] if query_embeds is not None else 0
+        hidden = QFormerModel(self.config, name="bert", dtype=self.dtype)(
+            input_ids=input_ids,
+            attention_mask=attention_mask,
+            query_embeds=query_embeds,
+            encoder_hidden_states=encoder_hidden_states,
+            encoder_attention_mask=encoder_attention_mask,
+            is_decoder=True,
+            deterministic=deterministic,
+        )
+        text_hidden = hidden[:, query_length:]
+        logits = QFormerLMPredictionHead(
+            self.config, name="cls", dtype=self.dtype
+        )(text_hidden)
+        if labels is not None:
+            return logits, causal_lm_loss(logits, labels)
+        return logits
+
+
+class QFormerForMaskedLM(nn.Module):
+    """Masked-LM head over text positions
+    (reference: models/qformer.py:1138-1223; the reference's MLM path crashes
+    when query_embeds is None, SURVEY.md §7.1.6 — fixed here)."""
+
+    config: QFormerConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        attention_mask: Optional[jax.Array] = None,
+        query_embeds: Optional[jax.Array] = None,
+        encoder_hidden_states: Optional[jax.Array] = None,
+        encoder_attention_mask: Optional[jax.Array] = None,
+        labels: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ):
+        query_length = query_embeds.shape[1] if query_embeds is not None else 0
+        hidden = QFormerModel(self.config, name="bert", dtype=self.dtype)(
+            input_ids=input_ids,
+            attention_mask=attention_mask,
+            query_embeds=query_embeds,
+            encoder_hidden_states=encoder_hidden_states,
+            encoder_attention_mask=encoder_attention_mask,
+            is_decoder=False,
+            deterministic=deterministic,
+        )
+        text_hidden = hidden[:, query_length:]
+        logits = QFormerLMPredictionHead(
+            self.config, name="cls", dtype=self.dtype
+        )(text_hidden)
+        if labels is not None:
+            valid = labels != -100
+            labels_safe = jnp.where(valid, labels, 0)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, labels_safe[..., None], axis=-1)[..., 0]
+            loss = jnp.where(valid, nll, 0.0).sum() / jnp.maximum(valid.sum(), 1)
+            return logits, loss
+        return logits

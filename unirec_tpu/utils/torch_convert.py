@@ -1,0 +1,160 @@
+"""Convert PyTorch reference checkpoints to Flax parameter trees.
+
+Gives the rebuild checkpoint *compatibility* with the reference: a
+``best_qformer_model.pth`` saved by the reference trainer
+(reference: training/item_qformer_training.py:171-187) loads directly into the
+TPU ItemQFormer, and raw ``BertModel`` state dicts load into QFormerModel.
+Also used by the parity tests to copy random torch weights into Flax and
+compare activations.
+
+All functions take a ``state_dict``-like mapping of numpy arrays (call
+``tensor.detach().cpu().numpy()`` on torch tensors first, or pass torch
+tensors — they are converted via ``np.asarray``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from unirec_tpu.configs import ItemQFormerConfig, QFormerConfig, UserQFormerConfig
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _dense(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """torch nn.Linear -> flax Dense (kernel is transposed)."""
+    out = {"kernel": _np(sd[prefix + ".weight"]).T}
+    if prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def _layernorm(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {
+        "scale": _np(sd[prefix + ".weight"]),
+        "bias": _np(sd[prefix + ".bias"]),
+    }
+
+
+def _attention(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    """BertAttention (self or cross) -> QFormerAttention params."""
+    return {
+        "query": _dense(sd, f"{prefix}.self.query"),
+        "key": _dense(sd, f"{prefix}.self.key"),
+        "value": _dense(sd, f"{prefix}.self.value"),
+        "output_dense": _dense(sd, f"{prefix}.output.dense"),
+        "output_LayerNorm": _layernorm(sd, f"{prefix}.output.LayerNorm"),
+    }
+
+
+def _ffn(sd: Mapping[str, Any], inter_prefix: str, out_prefix: str) -> Dict[str, Any]:
+    return {
+        "intermediate_dense": _dense(sd, f"{inter_prefix}.dense"),
+        "output_dense": _dense(sd, f"{out_prefix}.dense"),
+        "output_LayerNorm": _layernorm(sd, f"{out_prefix}.LayerNorm"),
+    }
+
+
+def convert_qformer_model(
+    sd: Mapping[str, Any], config: QFormerConfig, prefix: str = ""
+) -> Dict[str, Any]:
+    """Torch BertModel state_dict -> QFormerModel params dict.
+
+    ``prefix``: state-dict key prefix (e.g. ``"qformer."`` inside the item
+    wrapper checkpoint, reference: models/qformer_utils.py:31).
+    """
+    p = prefix
+    emb: Dict[str, Any] = {
+        "LayerNorm": _layernorm(sd, f"{p}embeddings.LayerNorm"),
+    }
+    if f"{p}embeddings.word_embeddings.weight" in sd:
+        emb["word_embeddings"] = {
+            "embedding": _np(sd[f"{p}embeddings.word_embeddings.weight"])
+        }
+        emb["position_embeddings"] = {
+            "embedding": _np(sd[f"{p}embeddings.position_embeddings.weight"])
+        }
+
+    encoder: Dict[str, Any] = {}
+    for i in range(config.num_hidden_layers):
+        lp = f"{p}encoder.layer.{i}"
+        layer: Dict[str, Any] = {
+            "attention": _attention(sd, f"{lp}.attention"),
+            "ffn_query": _ffn(sd, f"{lp}.intermediate_query", f"{lp}.output_query"),
+        }
+        if f"{lp}.crossattention.self.query.weight" in sd:
+            layer["crossattention"] = _attention(sd, f"{lp}.crossattention")
+        if f"{lp}.intermediate.dense.weight" in sd:
+            layer["ffn"] = _ffn(sd, f"{lp}.intermediate", f"{lp}.output")
+        encoder[f"layer_{i}"] = layer
+
+    return {"embeddings": emb, "encoder": encoder}
+
+
+def convert_item_qformer(
+    sd: Mapping[str, Any], config: ItemQFormerConfig
+) -> Dict[str, Any]:
+    """Torch QFormerForItemRepresentation state_dict -> ItemQFormer params.
+
+    Layout per reference: models/qformer_utils.py:29-35 — ``query_embeddings``
+    [1,K,H], nested ``qformer.*`` BertModel, three Linear heads.  The
+    field_projection Linear(K->F) weight [F,K] maps to DenseGeneral kernel
+    [K,F].
+    """
+    return {
+        "query_embeddings": _np(sd["query_embeddings"]),
+        "qformer": convert_qformer_model(sd, config.qformer(), prefix="qformer."),
+        "item_representation_head": _dense(sd, "item_representation_head"),
+        "reconstruction_head": _dense(sd, "reconstruction_head"),
+        "field_projection": {
+            "kernel": _np(sd["field_projection.weight"]).T,
+            "bias": _np(sd["field_projection.bias"]),
+        },
+    }
+
+
+def convert_user_qformer(
+    sd: Mapping[str, Any], config: UserQFormerConfig
+) -> Dict[str, Any]:
+    """Torch UserQFormer state_dict -> UserQFormer params
+    (reference: training/user_qformer_training.py:17-45; prediction_head is a
+    Sequential[Linear, GELU, LayerNorm, Linear] -> indices 0, 2, 3)."""
+    return {
+        "query_embeddings": _np(sd["query_embeddings"]),
+        "qformer": convert_qformer_model(sd, config.qformer(), prefix="qformer."),
+        "head_dense1": _dense(sd, "prediction_head.0"),
+        "head_norm": _layernorm(sd, "prediction_head.2"),
+        "head_dense2": _dense(sd, "prediction_head.3"),
+    }
+
+
+def load_reference_item_qformer_checkpoint(path: str):
+    """Load a reference ``best_qformer_model.pth`` checkpoint.
+
+    Returns (ItemQFormerConfig, flax params, field_names).  Checkpoint schema
+    per reference training/item_qformer_training.py:178-182:
+    {model_state_dict, config: BertConfig, field_names}.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    bert_cfg = ckpt["config"]
+    field_names = ckpt["field_names"]
+    cfg = ItemQFormerConfig(
+        hidden_size=bert_cfg.hidden_size,
+        num_hidden_layers=bert_cfg.num_hidden_layers,
+        num_attention_heads=bert_cfg.num_attention_heads,
+        intermediate_size=bert_cfg.intermediate_size,
+        num_query_tokens=bert_cfg.query_length,
+        field_embedding_dim=bert_cfg.encoder_width,
+        num_fields=len(field_names),
+        dropout=bert_cfg.hidden_dropout_prob,
+    )
+    params = convert_item_qformer(ckpt["model_state_dict"], cfg)
+    return cfg, {"params": params}, field_names
