@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Headline benchmark: item-query-token generation throughput per TPU chip.
+
+This is the throughput-critical path BASELINE.json names ("items/sec for
+item-query-token generation"): the production Item Q-Former (hidden 1024,
+12 layers, 16 heads, K=32 query tokens, F=14 fields — reference:
+models/qformer_utils.py:17-28) run batched over cached field embeddings
+(reference hot loop: data_processing/generate_all_item_embeddings.py:238-316).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "items/s", "vs_baseline": N}
+
+Baseline denominator (see BASELINE.md "Measured baselines"): the reference
+PyTorch pipeline at the identical config measured on this host
+(single-core CPU, torch 2.x): 9.8 items/s.  The reference's own hardware
+(RTX A6000) is unavailable; BASELINE.md also records an A6000 roofline
+estimate (~3-5k items/s) for context.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# Persistent compilation cache: first compile through the axon remote-compile
+# tunnel costs minutes; subsequent runs hit the cache.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from unirec_tpu.configs import ItemQFormerConfig  # noqa: E402
+from unirec_tpu.models.item_qformer import ItemQFormer  # noqa: E402
+
+REFERENCE_ITEMS_PER_SEC = 9.8  # measured: reference torch pipeline, this host
+
+
+def bench_item_token_generation(batch: int = 4096, iters: int = 5) -> float:
+    model = ItemQFormer(ItemQFormerConfig(), dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    fields = jax.random.normal(rng, (batch, 14, 1024), jnp.float32)
+    mask = jnp.ones((batch, 14))
+    params = model.init(rng, fields[:2], mask[:2])
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+
+    # Reduce to a scalar inside jit: measures device compute throughput.
+    # (Returning the full [B, K, 1024] tensor would time the host<->device
+    # tunnel of this environment, not the chip — production pipelines keep
+    # query tokens on device or stream them asynchronously.)
+    @jax.jit
+    def fwd(p, f, m):
+        return model.apply(p, f, m)["query_outputs"].sum()
+
+    float(fwd(params, fields, mask))  # warmup / compile
+    t0 = time.time()
+    for _ in range(iters):
+        s = float(fwd(params, fields, mask))  # full sync each iter
+    dt = (time.time() - t0) / iters
+    return batch / dt
+
+
+def main() -> None:
+    items_per_sec = bench_item_token_generation()
+    print(
+        json.dumps(
+            {
+                "metric": "item_query_tokens_per_sec_per_chip",
+                "value": round(items_per_sec, 1),
+                "unit": "items/s",
+                "vs_baseline": round(items_per_sec / REFERENCE_ITEMS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,212 @@
+"""End-to-end slice: cache -> item Q-Former training on the 8-device mesh ->
+reconstruction eval -> batch query-token generation -> checkpoint resume.
+
+This is the hermetic integration test SURVEY.md §4c calls for (the TPU analog
+of BASELINE.json configs 1-2).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unirec_tpu.configs import ItemQFormerConfig, MeshConfig, OptimizerConfig, TrainConfig
+from unirec_tpu.data.cache import FieldEmbeddingCache, analyze_fields, build_cache
+from unirec_tpu.eval.reconstruction import evaluate_reconstruction_quality
+from unirec_tpu.inference.qformer_inference import QFormerInference, is_null_value
+from unirec_tpu.models.item_qformer import ItemQFormer
+from unirec_tpu.train.item_qformer import (
+    ItemQFormerTrainer,
+    build_triplet_pairs,
+    sample_negatives,
+    train_item_qformer,
+)
+
+NUM_ITEMS, F, D = 64, 5, 32
+
+TINY_CFG = ItemQFormerConfig(
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=2,
+    intermediate_size=64,
+    num_query_tokens=4,
+    field_embedding_dim=D,
+    num_fields=F,
+    dropout=0.0,
+)
+
+
+class FakeEncoder:
+    """Deterministic hash-based field encoder for tests (no model weights)."""
+
+    embedding_dim = D
+
+    def encode_batch_by_field(self, samples, fields):
+        out = {}
+        for f in fields:
+            rows = []
+            for s in samples:
+                v = s.get(f)
+                if v is None:
+                    rows.append(np.zeros(D, np.float32))
+                else:
+                    seed = abs(hash((f, str(v)))) % (2**32)
+                    rows.append(
+                        np.random.RandomState(seed).randn(D).astype(np.float32)
+                    )
+            out[f] = np.stack(rows)
+        return out
+
+
+@pytest.fixture(scope="module")
+def cache(tmp_path_factory):
+    rng = np.random.RandomState(0)
+    samples = []
+    for i in range(NUM_ITEMS):
+        s = {"item_id": f"it{i}", "title": f"t{i}", "price": float(i)}
+        if i % 3 == 0:
+            s["brand"] = f"b{i % 7}"
+        if i % 4 == 0:
+            s["color"] = "red"
+        s["store"] = f"s{i % 5}"
+        samples.append(s)
+    cdir = str(tmp_path_factory.mktemp("cache"))
+    c = build_cache(samples, FakeEncoder(), cache_dir=cdir, batch_size=16)
+    assert c.embeddings.shape == (NUM_ITEMS, F, D)
+    return c
+
+
+def test_cache_roundtrip_and_validation(cache, tmp_path):
+    d = str(tmp_path / "c2")
+    cache.save(d)
+    c2 = FieldEmbeddingCache.load(d, expected_fields=cache.fields)
+    np.testing.assert_array_equal(np.asarray(c2.embeddings), cache.embeddings)
+    with pytest.raises(ValueError):
+        FieldEmbeddingCache.load(d, expected_fields=["wrong"])
+    # unknown ids degrade to zeros
+    emb, mask = c2.gather(["it0", "missing"])
+    assert mask[1].sum() == 0 and np.abs(emb[1]).sum() == 0
+
+
+def test_mask_matches_null_semantics(cache):
+    # price=0.0 for item 0 is a valid number -> depends on embedding nonzero
+    assert cache.masks.shape == (NUM_ITEMS, F)
+    # fields absent in sample -> zero embedding -> mask 0
+    row = cache.id_to_row["it1"]  # no brand, no color
+    fi_brand = cache.fields.index("brand")
+    assert cache.masks[row, fi_brand] == 0
+
+
+def test_triplet_pair_building(cache):
+    seqs = [["it0", "it1", "it2"], ["it3", "missing", "it4"], ["it5"]]
+    pairs = build_triplet_pairs(seqs, cache.id_to_row)
+    assert len(pairs) == 2  # (0,1), (1,2); missing breaks the chain pairs
+    rng = np.random.default_rng(0)
+    neg = sample_negatives(rng, pairs, NUM_ITEMS)
+    assert ((neg != pairs[:, 0]) & (neg != pairs[:, 1])).all()
+
+
+def test_training_decreases_loss_on_mesh(cache, eight_devices):
+    tc = TrainConfig(
+        batch_size=32,
+        num_epochs=1,
+        optimizer=OptimizerConfig(learning_rate=3e-3),
+        mesh=MeshConfig(dp=8, tp=1),
+    )
+    trainer = ItemQFormerTrainer(TINY_CFG, tc)
+    state = trainer.init_state()
+    seqs = [[f"it{i}", f"it{i+1}", f"it{i+2}"] for i in range(0, 60, 3)]
+    pairs = build_triplet_pairs(seqs, cache.id_to_row)
+    rng = np.random.default_rng(0)
+    state, m0 = trainer.train_epoch(state, cache, pairs, rng)
+    for _ in range(20):
+        state, m1 = trainer.train_epoch(state, cache, pairs, rng)
+    # reconstruction (the dominant, low-noise term) must improve
+    assert m1["recon"] < m0["recon"] * 0.95
+    val = trainer.evaluate(state, cache)
+    assert np.isfinite(val["val_recon_loss"])
+    assert -1.0 <= val["avg_cosine_similarity"] <= 1.0
+
+
+def test_full_driver_and_checkpoint(cache, tmp_path):
+    ckpt_dir = str(tmp_path / "ckpt")
+    tc = TrainConfig(
+        batch_size=32,
+        num_epochs=2,
+        eval_every_epochs=2,
+        optimizer=OptimizerConfig(learning_rate=1e-3),
+        mesh=MeshConfig(),  # all 8 virtual devices
+    )
+    seqs = [[f"it{i}", f"it{i+1}"] for i in range(0, 40, 2)]
+    state, metrics = train_item_qformer(
+        cache,
+        seqs,
+        model_config=TINY_CFG,
+        train_config=tc,
+        checkpoint_dir=ckpt_dir,
+        log_fn=lambda *a: None,
+    )
+    assert "val_recon_loss" in metrics
+    # restore through the inference entry point
+    inf = QFormerInference(ckpt_dir, batch_size=16)
+    assert inf.field_names == list(cache.fields)
+    tokens = inf.query_tokens_from_cache(cache, ["it0", "it3"])
+    assert tokens["it0"].shape == (4, 32)
+    # must match a direct forward with the trained params
+    model = ItemQFormer(TINY_CFG)
+    emb, mask = cache.gather(["it0"])
+    direct = model.apply(
+        {"params": jax.tree_util.tree_map(np.asarray, state.params)},
+        jnp.asarray(emb), jnp.asarray(mask),
+    )["query_outputs"]
+    np.testing.assert_allclose(
+        tokens["it0"], np.asarray(direct[0]), atol=5e-2, rtol=0.1
+    )  # bf16 inference vs fp32 train forward
+
+
+def test_reconstruction_eval_runs(cache):
+    model = ItemQFormer(TINY_CFG)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, F, D)),
+        jnp.ones((1, F)),
+    )
+    res = evaluate_reconstruction_quality(model, params, cache, batch_size=32)
+    assert set(res) >= {"val_recon_loss", "avg_cosine_similarity"}
+    assert res["num_samples"] == NUM_ITEMS
+
+
+def test_null_value_semantics():
+    assert is_null_value(None)
+    assert is_null_value("  null ")
+    assert is_null_value("NaN")
+    assert not is_null_value(0)
+    assert not is_null_value(0.0)
+    assert not is_null_value("0")
+
+
+def test_inference_raw_item_path(cache):
+    inf = QFormerInference(
+        config=TINY_CFG,
+        params=ItemQFormer(TINY_CFG).init(
+            jax.random.PRNGKey(0), jnp.zeros((1, F, D)), jnp.ones((1, F))
+        ),
+        field_names=cache.fields,
+        item_encoder=FakeEncoder(),
+        batch_size=8,
+    )
+    import json
+
+    items = {"a": {"title": "x", "price": 1.0}, "b": {"title": None}}
+    path = os.path.join(os.path.dirname(__file__), "_tmp_items.json")
+    with open(path, "w") as f:
+        json.dump(items, f)
+    try:
+        tok = inf.generate_query_tokens_by_id("a", path)
+        assert tok.shape == (4, 32)
+        batch = inf.generate_query_tokens_batch_by_ids(["a", "b", "zz"], path)
+        assert set(batch) == {"a", "b"}
+    finally:
+        os.remove(path)

@@ -1,0 +1,358 @@
+"""Qwen3 dense decoder (embedding backbone) in Flax, with LoRA overlays.
+
+TPU-native replacement for the HF ``AutoModel("Qwen/Qwen3-Embedding-0.6B")``
+backbone of the joint model (reference:
+training/train_item_individual_token_joint.py:97-103).  Architecture per the
+Qwen3 family: pre-RMSNorm, grouped-query attention with per-head q/k RMSNorm,
+rotary embeddings (theta 1e6), SwiGLU MLP, tied word embeddings.
+
+TPU-first design choices:
+
+* accepts ``inputs_embeds`` directly — the joint model injects Q-Former query
+  tokens into the embedding table output before the decoder stack
+  (reference :173-177) — and everything is fixed-shape for one jit trace;
+* LoRA lives in the same param tree as ``lora_a``/``lora_b`` leaves wrapping
+  the frozen base kernels (reference LoRA config r=16, alpha=32, on
+  q/k/v/o/gate/up/down — :721-731); trainability is decided at the optimizer
+  by path filtering (unirec_tpu/train/lora.py);
+* tensor parallelism is applied from outside via ``tp_shardings`` — a
+  PartitionSpec tree matched by parameter path (attention heads and MLP
+  hidden sharded over the ``tp`` mesh axis); under jit, GSPMD propagates the
+  shardings and inserts the all-reduces over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from unirec_tpu.configs import LoRAConfig, Qwen3Config
+
+Dtype = Any
+
+
+class RMSNorm(nn.Module):
+    dim: int
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        y = x.astype(jnp.float32) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale).astype(self.dtype)
+
+
+def rotary_embedding(
+    positions: jax.Array, head_dim: int, theta: float, dtype=jnp.float32
+):
+    """[B, L] positions -> (cos, sin) each [B, L, head_dim]."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, L, H, hd]; cos/sin: [B, L, hd] (HF rotate-half convention)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos[:, :, None, :] + rotated * sin[:, :, None, :]
+
+
+class LoRADense(nn.Module):
+    """Dense with optional LoRA overlay: y = x W + (x A) B * (alpha/r).
+
+    The base ``kernel`` follows HF layout after conversion; ``lora_a``/``b``
+    initialize to (normal, zeros) so the overlay starts as identity.
+    """
+
+    features: int
+    use_bias: bool = False
+    lora: Optional[LoRAConfig] = None
+    lora_enabled: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        in_dim = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(stddev=0.02),
+            (in_dim, self.features),
+        )
+        y = jnp.dot(x, kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias.astype(self.dtype)
+        if self.lora_enabled and self.lora is not None:
+            r = self.lora.r
+            lora_a = self.param(
+                "lora_a", nn.initializers.normal(stddev=1.0 / r), (in_dim, r)
+            )
+            lora_b = self.param("lora_b", nn.initializers.zeros, (r, self.features))
+            h = x
+            if self.lora.dropout > 0.0 and not deterministic:
+                h = nn.Dropout(self.lora.dropout)(h, deterministic=False)
+            y = y + jnp.dot(jnp.dot(h, lora_a.astype(self.dtype)),
+                            lora_b.astype(self.dtype)) * self.lora.scaling
+        return y
+
+
+class Qwen3Attention(nn.Module):
+    config: Qwen3Config
+    lora: Optional[LoRAConfig] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: jax.Array,  # [B, L, D]
+        bias: Optional[jax.Array],  # additive [B, 1, L, L]
+        cos: jax.Array,
+        sin: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        cfg = self.config
+        lora_on = lambda name: self.lora is not None and name in (
+            self.lora.target_modules
+        )
+        b, l, _ = hidden.shape
+        hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+        q = LoRADense(cfg.q_size, use_bias=cfg.attention_bias, lora=self.lora,
+                      lora_enabled=lora_on("q_proj"), name="q_proj",
+                      dtype=self.dtype)(hidden, deterministic)
+        k = LoRADense(cfg.kv_size, use_bias=cfg.attention_bias, lora=self.lora,
+                      lora_enabled=lora_on("k_proj"), name="k_proj",
+                      dtype=self.dtype)(hidden, deterministic)
+        v = LoRADense(cfg.kv_size, use_bias=cfg.attention_bias, lora=self.lora,
+                      lora_enabled=lora_on("v_proj"), name="v_proj",
+                      dtype=self.dtype)(hidden, deterministic)
+
+        q = q.reshape(b, l, hq, hd)
+        k = k.reshape(b, l, hkv, hd)
+        v = v.reshape(b, l, hkv, hd)
+
+        # Qwen3 per-head q/k RMSNorm (over head_dim)
+        q = RMSNorm(hd, cfg.rms_norm_eps, name="q_norm", dtype=self.dtype)(q)
+        k = RMSNorm(hd, cfg.rms_norm_eps, name="k_norm", dtype=self.dtype)(k)
+
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        # GQA: repeat kv heads
+        groups = hq // hkv
+        k = jnp.repeat(k, groups, axis=2)
+        v = jnp.repeat(v, groups, axis=2)
+
+        q = q.transpose(0, 2, 1, 3)  # [B, H, L, hd]
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+
+        scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if bias is not None:
+            scores = scores + bias.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        ctx = jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, hq * hd)
+
+        return LoRADense(cfg.hidden_size, lora=self.lora,
+                         lora_enabled=lora_on("o_proj"), name="o_proj",
+                         dtype=self.dtype)(ctx, deterministic)
+
+
+class Qwen3MLP(nn.Module):
+    config: Qwen3Config
+    lora: Optional[LoRAConfig] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        cfg = self.config
+        lora_on = lambda name: self.lora is not None and name in (
+            self.lora.target_modules
+        )
+        gate = LoRADense(cfg.intermediate_size, lora=self.lora,
+                         lora_enabled=lora_on("gate_proj"), name="gate_proj",
+                         dtype=self.dtype)(x, deterministic)
+        up = LoRADense(cfg.intermediate_size, lora=self.lora,
+                       lora_enabled=lora_on("up_proj"), name="up_proj",
+                       dtype=self.dtype)(x, deterministic)
+        h = nn.silu(gate) * up
+        return LoRADense(cfg.hidden_size, lora=self.lora,
+                         lora_enabled=lora_on("down_proj"), name="down_proj",
+                         dtype=self.dtype)(h, deterministic)
+
+
+class Qwen3Layer(nn.Module):
+    config: Qwen3Config
+    lora: Optional[LoRAConfig] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden, bias, cos, sin, deterministic=True):
+        cfg = self.config
+        h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
+                    name="input_layernorm", dtype=self.dtype)(hidden)
+        hidden = hidden + Qwen3Attention(
+            cfg, self.lora, name="self_attn", dtype=self.dtype
+        )(h, bias, cos, sin, deterministic)
+        h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
+                    name="post_attention_layernorm", dtype=self.dtype)(hidden)
+        hidden = hidden + Qwen3MLP(cfg, self.lora, name="mlp", dtype=self.dtype)(
+            h, deterministic
+        )
+        return hidden
+
+
+class Qwen3Model(nn.Module):
+    """Decoder stack -> final-norm hidden states [B, L, D].
+
+    Supports extended vocabularies: ``extra_embeddings`` adds ``n_extra`` rows
+    appended after the base vocab (the reference resizes the embedding table
+    for 20 history special tokens, train_item_individual_token_joint.py:118-119).
+    """
+
+    config: Qwen3Config
+    lora: Optional[LoRAConfig] = None
+    n_extra_tokens: int = 0
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Optional[jax.Array] = None,
+        attention_mask: Optional[jax.Array] = None,
+        inputs_embeds: Optional[jax.Array] = None,
+        position_ids: Optional[jax.Array] = None,
+        deterministic: bool = True,
+        method_embed_only: bool = False,
+    ) -> jax.Array:
+        cfg = self.config
+
+        embed_table = self.param(
+            "embed_tokens",
+            nn.initializers.normal(stddev=0.02),
+            (cfg.vocab_size, cfg.hidden_size),
+        )
+        if self.n_extra_tokens > 0:
+            extra = self.param(
+                "extra_embed_tokens",
+                nn.initializers.normal(stddev=0.02),
+                (self.n_extra_tokens, cfg.hidden_size),
+            )
+            full_table = jnp.concatenate(
+                [embed_table.astype(self.dtype), extra.astype(self.dtype)], axis=0
+            )
+        else:
+            full_table = embed_table.astype(self.dtype)
+
+        if inputs_embeds is None:
+            if input_ids is None:
+                raise ValueError("need input_ids or inputs_embeds")
+            inputs_embeds = jnp.take(full_table, input_ids, axis=0)
+
+        if method_embed_only:
+            return inputs_embeds
+
+        b, l, _ = inputs_embeds.shape
+        if position_ids is None:
+            position_ids = jnp.arange(l)[None, :].repeat(b, axis=0)
+        cos, sin = rotary_embedding(
+            position_ids, cfg.head_dim, cfg.rope_theta, dtype=self.dtype
+        )
+
+        # causal + padding additive bias
+        causal = jnp.tril(jnp.ones((l, l), jnp.float32))[None, None]
+        if attention_mask is not None:
+            pad = attention_mask.astype(jnp.float32)[:, None, None, :]
+            allowed = causal * pad
+        else:
+            allowed = causal
+        bias = (1.0 - allowed) * -1e9
+
+        hidden = inputs_embeds.astype(self.dtype)
+        layer_cls = Qwen3Layer
+        if self.remat:
+            layer_cls = nn.remat(Qwen3Layer, static_argnums=(5,))
+        for i in range(cfg.num_hidden_layers):
+            hidden = layer_cls(
+                cfg, self.lora, name=f"layers_{i}", dtype=self.dtype
+            )(hidden, bias, cos, sin, deterministic)
+
+        return RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="norm",
+                       dtype=self.dtype)(hidden)
+
+
+# ---------------------------------------------------------------------------
+# Pooling (reference: train_item_individual_token_joint.py:37-44, 179-181)
+# ---------------------------------------------------------------------------
+
+
+def mean_pool(hidden: jax.Array, attention_mask: Optional[jax.Array] = None,
+              masked: bool = False) -> jax.Array:
+    """Reference joint model pools the unmasked mean over ALL positions
+    (:180); masked=True gives the (flagged-but-better) masked mean
+    (SURVEY.md §7.1.5)."""
+    if masked and attention_mask is not None:
+        m = attention_mask.astype(hidden.dtype)[..., None]
+        return (hidden * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+    return hidden.mean(axis=1)
+
+
+def last_token_pool(hidden: jax.Array, attention_mask: jax.Array) -> jax.Array:
+    """Last non-padding position (reference :37-44, right-padding branch)."""
+    lengths = attention_mask.sum(axis=1).astype(jnp.int32) - 1
+    return hidden[jnp.arange(hidden.shape[0]), lengths]
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel sharding rules (megatron-style column/row split)
+# ---------------------------------------------------------------------------
+
+
+def tp_shardings(params: Dict, mesh) -> Dict:
+    """PartitionSpec tree for Qwen3 params: attention heads + MLP hidden
+    sharded over the 'tp' axis; everything else replicated.  Apply with
+    jax.device_put / jit in_shardings; GSPMD inserts the all-reduces."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def spec_for(path: tuple) -> "P":
+        names = [p.key if hasattr(p, "key") else str(p) for p in path]
+        joined = "/".join(names)
+        if names[-1] == "kernel":
+            if any(m in joined for m in ("q_proj", "k_proj", "v_proj",
+                                          "gate_proj", "up_proj")):
+                return P(None, "tp")  # column parallel
+            if any(m in joined for m in ("o_proj", "down_proj")):
+                return P("tp", None)  # row parallel
+        if names[-1] == "lora_b" and any(
+            m in joined for m in ("q_proj", "k_proj", "v_proj", "gate_proj",
+                                   "up_proj")
+        ):
+            return P(None, "tp")
+        if names[-1] == "lora_a" and any(
+            m in joined for m in ("o_proj", "down_proj")
+        ):
+            return P("tp", None)
+        if names[-1] in ("embed_tokens", "extra_embed_tokens"):
+            return P(None, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: NamedSharding(mesh, spec_for(path)), params
+    )

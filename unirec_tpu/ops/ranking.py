@@ -1,0 +1,224 @@
+"""Candidate-pool ranking: one on-device matmul + top-K, plus ranking metrics.
+
+Replaces the reference's per-sample python ranking loop
+(reference: training/train_item_individual_token_joint.py:392-419, which
+argsorts 100 candidates per sample on GPU one at a time) with a single
+vectorized computation, and extends it with Recall@K / NDCG@K (the north-star
+parity metrics BASELINE.json names; the reference computes MRR only —
+BASELINE.md).
+
+Also provides full-catalog retrieval: users x items scored blockwise with a
+Pallas kernel that fuses the similarity matmul with a running top-K, so the
+[B, N] score matrix never materializes in HBM for large catalogs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unirec_tpu.ops.losses import l2_normalize
+
+
+def rank_of_positive(
+    user_emb: jax.Array,  # [B, D]
+    positive_emb: jax.Array,  # [B, D]
+    negative_emb: jax.Array,  # [B, N, D]
+    negative_mask: Optional[jax.Array] = None,  # [B, N]
+) -> jax.Array:
+    """1-based rank of the positive among [positive] + negatives by cosine
+    similarity (reference semantics: similarities -> argsort descending ->
+    position of index 0, train_item_individual_token_joint.py:408-418).
+
+    Computed without argsort: rank = 1 + #negatives with sim > pos_sim
+    (ties resolved in the positive's favor, matching the reference where the
+    positive at index 0 wins ties under stable argsort).
+    """
+    u = l2_normalize(user_emb)
+    p = l2_normalize(positive_emb)
+    n = l2_normalize(negative_emb)
+    pos_sim = jnp.sum(u * p, axis=-1)  # [B]
+    neg_sim = jnp.einsum("bd,bnd->bn", u, n)  # [B, N]
+    if negative_mask is not None:
+        neg_sim = jnp.where(negative_mask.astype(bool), neg_sim, -jnp.inf)
+    return 1 + jnp.sum(neg_sim > pos_sim[:, None], axis=-1)
+
+
+def ranking_metrics(
+    user_emb: jax.Array,
+    positive_emb: jax.Array,
+    negative_emb: jax.Array,
+    negative_mask: Optional[jax.Array] = None,
+    ks: Tuple[int, ...] = (1, 5, 10),
+) -> Dict[str, jax.Array]:
+    """MRR + Recall@K + NDCG@K for a single relevant item per user.
+
+    With one relevant item, Recall@K = hit@K and
+    NDCG@K = 1/log2(rank+1) if rank <= K else 0.
+    """
+    ranks = rank_of_positive(user_emb, positive_emb, negative_emb, negative_mask)
+    out: Dict[str, jax.Array] = {"mrr": jnp.mean(1.0 / ranks)}
+    for k in ks:
+        hit = ranks <= k
+        out[f"recall@{k}"] = jnp.mean(hit.astype(jnp.float32))
+        out[f"ndcg@{k}"] = jnp.mean(
+            jnp.where(hit, 1.0 / jnp.log2(ranks.astype(jnp.float32) + 1.0), 0.0)
+        )
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "normalize"))
+def top_k_items(
+    user_emb: jax.Array,  # [B, D]
+    catalog_emb: jax.Array,  # [N, D]
+    k: int = 10,
+    normalize: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full-catalog retrieval: cosine scores + top-K indices, one matmul."""
+    u = l2_normalize(user_emb) if normalize else user_emb
+    c = l2_normalize(catalog_emb) if normalize else catalog_emb
+    scores = jnp.einsum("bd,nd->bn", u, c, preferred_element_type=jnp.float32)
+    return jax.lax.top_k(scores, k)
+
+
+# ---------------------------------------------------------------------------
+# Pallas blocked matmul + running top-K (large catalogs)
+# ---------------------------------------------------------------------------
+
+
+def _topk_merge(scores_a, idx_a, scores_b, idx_b, k: int):
+    """Merge two [R, k] top-k sets into one (descending)."""
+    s = jnp.concatenate([scores_a, scores_b], axis=-1)
+    i = jnp.concatenate([idx_a, idx_b], axis=-1)
+    top_s, pos = jax.lax.top_k(s, k)
+    top_i = jnp.take_along_axis(i, pos, axis=-1)
+    return top_s, top_i
+
+
+def _retrieval_kernel(
+    u_ref,  # [BU, D]
+    c_ref,  # [BN, D]
+    s_out,  # [BU, K_PAD]
+    i_out,  # [BU, K_PAD]
+    s_scratch,
+    i_scratch,
+    *,
+    k_pad: int,
+    block_n: int,
+    num_n_blocks: int,
+):
+    import jax.experimental.pallas as pl
+
+    n_idx = pl.program_id(1)
+
+    @pl.when(n_idx == 0)
+    def _init():
+        s_scratch[...] = jnp.full_like(s_scratch, -jnp.inf)
+        i_scratch[...] = jnp.zeros_like(i_scratch)
+
+    u = u_ref[...].astype(jnp.float32)
+    c = c_ref[...].astype(jnp.float32)
+    scores = jax.lax.dot_general(
+        u, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BU, BN]
+    base = n_idx * block_n
+    col_ids = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+
+    blk_s, blk_pos = jax.lax.top_k(scores, k_pad)
+    blk_i = jnp.take_along_axis(col_ids, blk_pos, axis=-1)
+
+    merged_s, merged_i = _topk_merge(
+        s_scratch[...], i_scratch[...], blk_s, blk_i, k_pad
+    )
+    s_scratch[...] = merged_s
+    i_scratch[...] = merged_i
+
+    @pl.when(n_idx == num_n_blocks - 1)
+    def _done():
+        s_out[...] = s_scratch[...]
+        i_out[...] = i_scratch[...]
+
+
+def retrieve_top_k(
+    user_emb: jax.Array,  # [B, D]
+    catalog_emb: jax.Array,  # [N, D]
+    k: int = 10,
+    *,
+    normalize: bool = True,
+    block_u: int = 256,
+    block_n: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pallas fused retrieval: scores computed blockwise over the catalog with
+    a running top-K in VMEM; HBM traffic is O(B*D + N*D + B*K), never O(B*N).
+
+    Falls back to ``top_k_items`` off-TPU unless ``interpret=True``.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.default_backend() != "tpu" and not interpret:
+        return top_k_items(user_emb, catalog_emb, k, normalize)
+
+    u = l2_normalize(user_emb) if normalize else user_emb
+    c = l2_normalize(catalog_emb) if normalize else catalog_emb
+    u = u.astype(jnp.float32)
+    c = c.astype(jnp.float32)
+
+    b, d = u.shape
+    n = c.shape[0]
+    k_pad = max(128, ((k + 127) // 128) * 128)
+
+    # Pad batch and catalog to block multiples; padded catalog rows are zero
+    # vectors -> cosine score 0; mask them to -inf via index >= n later.
+    bu = min(block_u, max(8, ((b + 7) // 8) * 8))
+    pad_b = (-b) % bu
+    if pad_b:
+        u = jnp.pad(u, ((0, pad_b), (0, 0)))
+    bn = block_n
+    pad_n = (-n) % bn
+    if pad_n:
+        c = jnp.pad(c, ((0, pad_n), (0, 0)))
+    bp, np_ = u.shape[0], c.shape[0]
+    num_n_blocks = np_ // bn
+
+    grid = (bp // bu, num_n_blocks)
+    kernel = functools.partial(
+        _retrieval_kernel,
+        k_pad=k_pad,
+        block_n=bn,
+        num_n_blocks=num_n_blocks,
+    )
+    s_out, i_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bu, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bu, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bu, k_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((bp, k_pad), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bu, k_pad), jnp.float32),
+            pltpu.VMEM((bu, k_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(u, c)
+
+    s_out, i_out = s_out[:b], i_out[:b]
+    # Drop padded catalog entries (score 0 could beat negatives; mask by index)
+    valid = i_out < n
+    s_out = jnp.where(valid, s_out, -jnp.inf)
+    order = jnp.argsort(-s_out, axis=-1)
+    s_out = jnp.take_along_axis(s_out, order, axis=-1)[:, :k]
+    i_out = jnp.take_along_axis(i_out, order, axis=-1)[:, :k]
+    return s_out, i_out

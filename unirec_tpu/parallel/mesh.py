@@ -1,0 +1,92 @@
+"""Device mesh + sharding layer.
+
+The reference has no parallelism at all (single pinned GPU,
+reference: training/train_item_individual_token_joint.py:33-34; audit in
+SURVEY.md §2.4).  The TPU-native replacement is the idiomatic JAX stack:
+
+* one ``jax.sharding.Mesh`` with axes ``("dp", "tp")``;
+* batches sharded over ``dp`` via NamedSharding, params replicated over ``dp``
+  and (optionally) tensor-sharded over ``tp``;
+* gradient reduction happens inside jit via XLA collectives over ICI — no
+  explicit psum needed under the shard-in/shard-out jit style.
+
+All five pipeline stages train data-parallel (the largest model is 0.6B params
+and fits per chip); the joint Qwen3 model additionally supports ``tp`` via
+logical axis rules (unirec_tpu/models/qwen3.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from unirec_tpu.configs import MeshConfig
+
+DP_AXIS = "dp"
+TP_AXIS = "tp"
+
+
+def make_mesh(
+    config: MeshConfig = MeshConfig(), devices: Optional[Sequence[Any]] = None
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    dp, tp = config.axis_sizes(len(devices))
+    dev_array = np.asarray(devices).reshape(dp, tp)
+    return Mesh(dev_array, (DP_AXIS, TP_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis split over dp, replicated over tp."""
+    return NamedSharding(mesh, P(DP_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Device-put a pytree of host arrays with batch-dim sharding.
+
+    Pads nothing: callers must make the global batch divisible by dp
+    (pad_batch below helps).
+    """
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_batch(batch: Any, multiple: int):
+    """Pad the leading axis of every leaf up to a multiple; returns
+    (padded_batch, original_size)."""
+    sizes = {x.shape[0] for x in jax.tree_util.tree_leaves(batch)}
+    assert len(sizes) == 1, f"inconsistent batch dims: {sizes}"
+    n = sizes.pop()
+    pad = (-n) % multiple
+    if pad == 0:
+        return batch, n
+    padded = jax.tree_util.tree_map(
+        lambda x: np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0),
+        batch,
+    )
+    return padded, n
+
+
+def data_parallel_jit(step_fn, mesh: Mesh, donate_state: bool = True):
+    """jit a (state, batch, ...) -> (state, metrics) step with state replicated
+    and batch sharded over dp.  XLA inserts the gradient all-reduce over ICI."""
+    state_sh = replicated(mesh)
+    batch_sh = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh),
+        out_shardings=(state_sh, state_sh),
+        donate_argnums=(0,) if donate_state else (),
+    )

@@ -1,0 +1,66 @@
+"""Shared training utilities: train state, optimizer factory, batching."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from unirec_tpu.configs import OptimizerConfig
+
+
+class TrainState(train_state.TrainState):
+    """Standard flax TrainState; dropout rng folded in per step."""
+
+    pass
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    """AdamW with optional warmup + global-norm clipping.
+
+    Mirrors the reference stacks: AdamW everywhere
+    (item_qformer_training.py:107, user_qformer_training.py:194), warmup +
+    clip 1.0 on the joint run (train_item_individual_token_joint.py:768-769).
+    """
+    if cfg.warmup_steps > 0:
+        schedule = optax.linear_schedule(
+            0.0, cfg.learning_rate, cfg.warmup_steps
+        )
+        lr = lambda step: jnp.where(
+            step < cfg.warmup_steps, schedule(step), cfg.learning_rate
+        )
+    else:
+        lr = cfg.learning_rate
+    tx = optax.adamw(
+        lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps, weight_decay=cfg.weight_decay
+    )
+    if cfg.max_grad_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+    return tx
+
+
+def epoch_batches(
+    rng: np.random.Generator,
+    num_examples: int,
+    batch_size: int,
+    shuffle: bool = True,
+    drop_last: bool = False,
+) -> Iterator[np.ndarray]:
+    """Yield index arrays per batch; host-side, cheap."""
+    idx = np.arange(num_examples)
+    if shuffle:
+        rng.shuffle(idx)
+    stop = num_examples - (num_examples % batch_size) if drop_last else num_examples
+    for i in range(0, stop, batch_size):
+        yield idx[i : i + batch_size]
+
+
+def mean_metrics(metric_list: Sequence[Dict[str, Any]]) -> Dict[str, float]:
+    if not metric_list:
+        return {}
+    keys = metric_list[0].keys()
+    return {k: float(np.mean([float(m[k]) for m in metric_list])) for k in keys}

@@ -1,0 +1,68 @@
+"""Orbax checkpointing with the reference's metadata contract.
+
+The reference saves ad-hoc torch dicts with no optimizer state and no step
+resume (SURVEY.md §5 "Checkpoint / resume").  Here every stage checkpoints
+{params, opt_state, step} via orbax plus a JSON sidecar carrying the model
+config and ``field_names`` (the reference contract that drives model shape at
+load, reference: training/item_qformer_training.py:178-182).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _host_tree(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    directory: str,
+    state: Any,
+    config: Optional[Any] = None,
+    extra: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Save a TrainState (or any pytree) + config/extra metadata."""
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, "state")
+    ckpt = ocp.PyTreeCheckpointer()
+    tree = {
+        "params": _host_tree(state.params),
+        "opt_state": _host_tree(state.opt_state),
+        "step": int(state.step),
+    }
+    ckpt.save(path, tree, force=True)
+    meta: Dict[str, Any] = dict(extra or {})
+    if config is not None:
+        meta["config"] = dataclasses.asdict(config)
+        meta["config_class"] = type(config).__name__
+    with open(os.path.join(directory, "meta.json"), "w") as f:
+        json.dump(meta, f, default=str)
+    return directory
+
+
+def load_checkpoint(directory: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Returns (tree with params/opt_state/step, meta dict)."""
+    directory = os.path.abspath(directory)
+    ckpt = ocp.PyTreeCheckpointer()
+    tree = ckpt.restore(os.path.join(directory, "state"))
+    meta_path = os.path.join(directory, "meta.json")
+    meta: Dict[str, Any] = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return tree, meta
+
+
+def restore_config(meta: Dict[str, Any], config_cls):
+    cfg = dict(meta.get("config", {}))
+    fields = {f.name for f in dataclasses.fields(config_cls)}
+    return config_cls(**{k: v for k, v in cfg.items() if k in fields})
