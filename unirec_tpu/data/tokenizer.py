@@ -1,0 +1,134 @@
+"""Tokenizer layer for the joint model.
+
+The reference uses the HF Qwen tokenizer with 20 added special tokens
+(reference: train_item_individual_token_joint.py:98-119).  This environment is
+zero-egress, so the framework abstracts tokenization behind one interface:
+
+* ``HFTokenizer`` — wraps a locally available HF tokenizer (pass a local path
+  or cached model name); special history tokens are added and resolve to ids
+  ``>= base_vocab``;
+* ``HashTokenizer`` — deterministic hash-based word tokenizer for tests and
+  weightless runs; same special-token contract.
+
+Both produce fixed-length (max_length) right-padded ids + attention mask, the
+shapes the jit graph expects.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from unirec_tpu.models.joint import history_token_strings
+
+_SPECIAL_RE = re.compile(r"<\|history_item_\d+_query_\d+\|>")
+_WORD_RE = re.compile(r"<\|history_item_\d+_query_\d+\|>|\S+")
+
+
+class BaseTokenizer:
+    """Fixed-shape batch encoding with reserved history special tokens."""
+
+    def __init__(
+        self,
+        base_vocab_size: int,
+        num_history_items: int = 10,
+        num_query_tokens_per_item: int = 2,
+        pad_id: int = 0,
+    ):
+        self.base_vocab_size = base_vocab_size
+        self.pad_id = pad_id
+        self.special_tokens = history_token_strings(
+            num_history_items, num_query_tokens_per_item
+        )
+        self.special_to_id = {
+            tok: base_vocab_size + i for i, tok in enumerate(self.special_tokens)
+        }
+
+    @property
+    def vocab_size(self) -> int:
+        return self.base_vocab_size + len(self.special_tokens)
+
+    def _encode_text(self, text: str) -> List[int]:  # pragma: no cover
+        raise NotImplementedError
+
+    def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
+        ids = self._encode_text(text)[:max_length]
+        mask = np.zeros(max_length, np.float32)
+        mask[: len(ids)] = 1.0
+        out = np.full(max_length, self.pad_id, np.int32)
+        out[: len(ids)] = ids
+        return out, mask
+
+    def encode_batch(
+        self, texts: Sequence[str], max_length: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        ids, masks = zip(*(self.encode(t, max_length) for t in texts))
+        return np.stack(ids), np.stack(masks)
+
+
+class HashTokenizer(BaseTokenizer):
+    """Deterministic word-hash tokenizer (no vocabulary files needed)."""
+
+    def _encode_text(self, text: str) -> List[int]:
+        import hashlib
+
+        ids = []
+        for tok in _WORD_RE.findall(text):
+            if tok in self.special_to_id:
+                ids.append(self.special_to_id[tok])
+            else:
+                h = int(hashlib.md5(tok.lower().encode()).hexdigest(), 16)
+                # avoid pad id 0
+                ids.append(1 + h % (self.base_vocab_size - 1))
+        return ids
+
+
+class HFTokenizer(BaseTokenizer):
+    """Wraps a local HF tokenizer; adds the history special tokens exactly as
+    the reference does (train_item_individual_token_joint.py:117-119)."""
+
+    def __init__(
+        self,
+        name_or_path: str,
+        num_history_items: int = 10,
+        num_query_tokens_per_item: int = 2,
+    ):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(name_or_path)
+        base_vocab = len(self.tok)
+        super().__init__(
+            base_vocab, num_history_items, num_query_tokens_per_item,
+            pad_id=self.tok.pad_token_id or 0,
+        )
+        self.tok.add_special_tokens(
+            {"additional_special_tokens": self.special_tokens}
+        )
+        # HF assigns added ids sequentially from base_vocab -> same contract
+        self.special_to_id = {
+            t: self.tok.convert_tokens_to_ids(t) for t in self.special_tokens
+        }
+
+    def _encode_text(self, text: str) -> List[int]:
+        return self.tok(text, add_special_tokens=True)["input_ids"]
+
+
+def make_tokenizer(
+    name_or_path: Optional[str] = None,
+    base_vocab_size: int = 151669,
+    num_history_items: int = 10,
+    num_query_tokens_per_item: int = 2,
+) -> BaseTokenizer:
+    """HF tokenizer when a local path/model is usable, hash fallback otherwise."""
+    if name_or_path:
+        try:
+            return HFTokenizer(
+                name_or_path, num_history_items, num_query_tokens_per_item
+            )
+        except Exception:
+            pass
+    return HashTokenizer(
+        base_vocab_size, num_history_items, num_query_tokens_per_item
+    )

@@ -1,0 +1,57 @@
+"""Parameter-tree utilities: merging converted weights into initialized trees
+and path-based trainability filters for LoRA fine-tuning."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+
+
+def merge_params(template: Dict, loaded: Dict) -> Dict:
+    """Overwrite leaves of ``template`` with matching entries from ``loaded``.
+
+    Entries present only in ``template`` (e.g. fresh LoRA ``lora_a/lora_b`` or
+    ``extra_embed_tokens``) are kept; entries only in ``loaded`` raise (they
+    indicate a conversion/config mismatch).
+    """
+    out = dict(template)
+    for k, v in loaded.items():
+        if k not in template:
+            raise KeyError(f"loaded param {k!r} not in model structure")
+        if isinstance(v, dict) and isinstance(template[k], dict):
+            out[k] = merge_params(template[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def path_contains(*needles: str) -> Callable:
+    """Predicate on a jax tree path: any segment name contains a needle."""
+
+    def pred(path) -> bool:
+        names = [p.key if hasattr(p, "key") else str(p) for p in path]
+        return any(n in name for name in names for n in needles)
+
+    return pred
+
+
+def trainable_mask(params: Dict, predicate: Callable) -> Dict:
+    """Boolean pytree: True where predicate(path) — for optax.masked."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: bool(predicate(path)), params
+    )
+
+
+def lora_trainable_mask(params: Dict) -> Dict:
+    """Joint-training trainability (reference: LoRA adapters + resized token
+    embeddings + the whole Q-Former train jointly,
+    train_item_individual_token_joint.py:121-132, 202-212, 710)."""
+    return trainable_mask(
+        params,
+        path_contains("lora_a", "lora_b", "extra_embed_tokens", "qformer"),
+    )
+
+
+def count_params(tree: Dict) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree))
