@@ -1,0 +1,168 @@
+"""CLI integration: the full pipeline on tiny fixtures through the real
+entry points (python -m unirec_tpu ...).
+
+data -> precompute -> item-qformer train -> evaluate -> tokens -> embed.
+"""
+
+import json
+import pickle
+import subprocess
+import sys
+import os
+
+import numpy as np
+import pytest
+
+from unirec_tpu.cli.candidate_embeddings import main as embed_main
+from unirec_tpu.cli.data_pipeline import main as data_main
+from unirec_tpu.cli.generate_all_item_embeddings import main as tokens_main
+from unirec_tpu.cli.train_cli import main as train_main
+
+N_ITEMS = 40
+
+
+@pytest.fixture(scope="module")
+def pipeline_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipeline")
+    # raw meta jsonl
+    meta = root / "meta.jsonl"
+    with open(meta, "w") as f:
+        for i in range(N_ITEMS):
+            f.write(
+                json.dumps(
+                    {
+                        "parent_asin": f"A{i}",
+                        "title": f"Product {i}",
+                        "description": [f"desc {i}", "extra"],
+                        "price": str(4.0 + i),
+                        "details": {"Brand": f"B{i % 5}"},
+                        "images": [{"variant": "MAIN", "large": f"http://x/{i}.jpg"}],
+                    }
+                )
+                + "\n"
+            )
+    # interactions
+    inter = root / "x.inter"
+    with open(inter, "w") as f:
+        f.write("user_id\titem_id\trating\ttimestamp\n")
+        for u in range(5):
+            for t in range(14):
+                f.write(f"u{u}\tA{(u * 7 + t) % N_ITEMS}\t5.0\t{1000 + t}\n")
+    return root
+
+
+def test_data_pipeline_cli(pipeline_dir):
+    d = pipeline_dir
+    assert data_main(["item-dict", "--input", str(d / "meta.jsonl"),
+                      "--output", str(d / "item_dict.json")]) == 0
+    assert data_main(["triplet-dict", "--input", str(d / "item_dict.json"),
+                      "--output", str(d / "triplet_dict.json")]) == 0
+    with open(d / "triplet_dict.json") as f:
+        td = json.load(f)
+    assert len(td) == N_ITEMS
+    assert td["A0"]["description"] == "desc 0 extra"
+    assert td["A0"]["brand"] == "B0"
+    assert td["A0"]["main_image"] == "http://x/0.jpg"
+
+    assert data_main(["rec-old-user", "--inter", str(d / "x.inter"),
+                      "--output-prefix", str(d / "rec"),
+                      "--num-candidates", "12"]) == 0
+    with open(str(d / "rec_train.json")) as f:
+        train = json.load(f)
+    assert len(train) == 5
+    assert all(s["ground_truth"] in s["candidate"] for s in train)
+
+    assert data_main(["rec-new-user", "--inter", str(d / "x.inter"),
+                      "--output-prefix", str(d / "new"),
+                      "--num-samples", "4", "--hist-len", "10",
+                      "--num-candidates", "12"]) == 0
+    assert os.path.exists(str(d / "new_train_LRanker.json"))
+
+
+def test_train_and_tokens_cli(pipeline_dir):
+    d = pipeline_dir
+    if not os.path.exists(d / "triplet_dict.json"):
+        test_data_pipeline_cli(pipeline_dir)
+
+    cache_dir = str(d / "cache")
+    assert train_main(["precompute", "--data", str(d / "triplet_dict.json"),
+                       "--cache-dir", cache_dir,
+                       "--batch-size", "16"]) == 0
+    assert os.path.exists(os.path.join(cache_dir, "embeddings.npy"))
+
+    ckpt = str(d / "iq_ckpt")
+    assert train_main([
+        "item-qformer",
+        "--data", str(d / "triplet_dict.json"),
+        "--sequences", str(d / "rec_train.json"),
+        "--cache-dir", cache_dir,
+        "--num-query-tokens", "4",
+        "--hidden-size", "32", "--num-layers", "2", "--num-heads", "2",
+        "--intermediate-size", "64",
+        "--batch-size", "16", "--num-epochs", "2", "--eval-every", "2",
+        "--checkpoint-dir", ckpt,
+    ]) == 0
+    assert os.path.exists(os.path.join(ckpt, "meta.json"))
+
+    assert train_main(["evaluate", "--checkpoint", ckpt,
+                       "--cache-dir", cache_dir]) == 0
+
+    out_pkl = str(d / "tokens.pkl")
+    assert tokens_main(["--checkpoint", ckpt, "--cache-dir", cache_dir,
+                        "--output", out_pkl, "--batch-size", "16",
+                        "--profile",
+                        "--progress-file", str(d / "progress.json")]) == 0
+    with open(out_pkl, "rb") as f:
+        tokens = pickle.load(f)
+    assert len(tokens) == N_ITEMS
+    assert tokens["A0"].shape == (4, 32)
+    with open(d / "progress.json") as f:
+        prog = json.load(f)
+    assert prog["done"] == N_ITEMS
+
+    # compare mode
+    assert tokens_main(["--checkpoint", ckpt, "--cache-dir", cache_dir,
+                        "--compare", "--output", str(d / "cmp.pkl")]) == 0
+
+
+def test_embed_cli(pipeline_dir):
+    d = pipeline_dir
+    if not os.path.exists(d / "item_dict.json"):
+        test_data_pipeline_cli(pipeline_dir)
+    out = str(d / "qwen_emb.json")
+    assert embed_main(["qwen3", "--item-dict", str(d / "item_dict.json"),
+                       "--samples", str(d / "rec_train.json"),
+                       "--output", out]) == 0
+    with open(out) as f:
+        embs = json.load(f)
+    assert len(embs) > 0
+    assert len(next(iter(embs.values()))) == 1024
+
+    out2 = str(d / "clip_emb.json")
+    assert embed_main(["clip", "--item-dict", str(d / "item_dict.json"),
+                       "--output", out2, "--max-items", "5"]) == 0
+    with open(out2) as f:
+        embs2 = json.load(f)
+    assert len(embs2) == 5  # hash image backend never fails
+
+
+def test_mwne_cli(tmp_path):
+    assert train_main(["mwne", "--embedding-dim", "64",
+                       "--num-frequencies", "8", "--num-steps", "30",
+                       "--checkpoint-dir", str(tmp_path / "mwne")]) == 0
+    assert os.path.exists(str(tmp_path / "mwne" / "meta.json"))
+
+
+def test_module_dispatcher_help():
+    r = subprocess.run(
+        [sys.executable, "-m", "unirec_tpu", "--help"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0
+    assert "tokens" in r.stdout
+
+
+def test_check_devices_flag():
+    assert tokens_main(["--check-devices"]) == 0

@@ -1,0 +1,348 @@
+"""Training CLI: one entry point per pipeline stage.
+
+Subcommands mirror the reference training scripts:
+  precompute    (training/precompute_full_field_embeddings.py, C9)
+  mwne          (models/mwne.py train_improved_encoder, C6)
+  item-qformer  (training/item_qformer_training.py, C10)
+  user-qformer  (training/user_qformer_training.py, C11)
+  joint         (training/train_item_individual_token_joint.py, C12)
+  evaluate      (evaluation/evaluate_item_qformer.py, C22)
+
+All hyperparameters default to the reference production configs and are
+overridable by flags (the reference hardcodes them, SURVEY.md §5 "Config").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Optional
+
+
+def _common_train_flags(sp, batch_size: int, epochs: int, lr: float):
+    sp.add_argument("--batch-size", type=int, default=batch_size)
+    sp.add_argument("--num-epochs", type=int, default=epochs)
+    sp.add_argument("--learning-rate", type=float, default=lr)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--checkpoint-dir", default=None)
+    sp.add_argument("--dp", type=int, default=-1, help="data-parallel size")
+    sp.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("precompute")
+    sp.add_argument("--data", required=True, help="item (triplet) dict JSON")
+    sp.add_argument("--cache-dir", required=True)
+    sp.add_argument("--batch-size", type=int, default=8192)
+    sp.add_argument("--max-items", type=int, default=None)
+    sp.add_argument("--config", default=None, help="field schema YAML")
+
+    sp = sub.add_parser("mwne")
+    sp.add_argument("--embedding-dim", type=int, default=1024)
+    sp.add_argument("--num-frequencies", type=int, default=20)
+    sp.add_argument("--num-steps", type=int, default=1500)
+    sp.add_argument("--learning-rate", type=float, default=1e-3)
+    sp.add_argument("--checkpoint-dir", default="number_encoders")
+
+    sp = sub.add_parser("item-qformer")
+    sp.add_argument("--data", required=True, help="item (triplet) dict JSON")
+    sp.add_argument("--sequences", required=True, help="LRanker train JSON")
+    sp.add_argument("--cache-dir", required=True)
+    sp.add_argument("--num-query-tokens", type=int, default=32)
+    sp.add_argument("--hidden-size", type=int, default=1024)
+    sp.add_argument("--num-layers", type=int, default=12)
+    sp.add_argument("--num-heads", type=int, default=16)
+    sp.add_argument("--intermediate-size", type=int, default=4096)
+    sp.add_argument("--contrastive-weight", type=float, default=0.25)
+    sp.add_argument("--max-samples", type=int, default=None)
+    sp.add_argument("--eval-every", type=int, default=50)
+    _common_train_flags(sp, 4096, 500, 1e-4)
+
+    sp = sub.add_parser("user-qformer")
+    sp.add_argument("--item-qformer-checkpoint", required=True)
+    sp.add_argument("--history", required=True, help="LRanker train JSON")
+    sp.add_argument("--reviews", required=True, help="review dict JSON")
+    sp.add_argument("--cache-dir", required=True)
+    sp.add_argument("--max-seq-len", type=int, default=50)
+    _common_train_flags(sp, 64, 50, 5e-5)
+
+    sp = sub.add_parser("joint")
+    sp.add_argument("--train-data", required=True)
+    sp.add_argument("--val-data", required=True)
+    sp.add_argument("--item-emb", required=True,
+                    help="candidate item-embedding JSON")
+    sp.add_argument("--item-dict", required=True)
+    sp.add_argument("--qformer-checkpoint", required=True)
+    sp.add_argument("--cache-dir", required=True)
+    sp.add_argument("--hf-path", default=None,
+                    help="local HF Qwen3 checkpoint for base weights")
+    sp.add_argument("--max-length", type=int, default=512)
+    sp.add_argument("--eval-every-steps", type=int, default=20)
+    sp.add_argument("--bf16", action="store_true", default=True)
+    _common_train_flags(sp, 16, 500, 1e-4)
+
+    sp = sub.add_parser("evaluate")
+    sp.add_argument("--checkpoint", required=True)
+    sp.add_argument("--cache-dir", required=True)
+    sp.add_argument("--batch-size", type=int, default=256)
+
+    args = p.parse_args(argv)
+    return _dispatch(args)
+
+
+def _dispatch(args) -> int:
+    from unirec_tpu.configs import (
+        FieldSchema,
+        ItemQFormerConfig,
+        MeshConfig,
+        MWNEConfig,
+        OptimizerConfig,
+        TrainConfig,
+    )
+
+    if args.cmd == "precompute":
+        from unirec_tpu.data.cache import build_cache
+        from unirec_tpu.encoders.item_encoder import ItemEncoder
+
+        with open(args.data) as f:
+            data = json.load(f)
+        items = []
+        for iid, item in data.items():
+            item = dict(item)
+            item["item_id"] = iid
+            items.append(item)
+        if args.max_items:
+            items = items[: args.max_items]
+        encoder = ItemEncoder(config_path=args.config)
+        cache = build_cache(
+            items, encoder, cache_dir=args.cache_dir,
+            batch_size=args.batch_size,
+        )
+        print(f"cached {len(cache)} items x {cache.num_fields} fields "
+              f"-> {args.cache_dir}")
+        return 0
+
+    if args.cmd == "mwne":
+        from unirec_tpu.train.mwne import MWNETrainer
+        import numpy as np
+
+        cfg = MWNEConfig(
+            embedding_dim=args.embedding_dim,
+            num_frequencies=args.num_frequencies,
+        )
+        trainer = MWNETrainer(cfg, lr=args.learning_rate)
+        metrics = trainer.train(num_steps=args.num_steps)
+        test = np.array([0.5, 1.0, 2.0, 5.0, 10.0, -3.0, 42.0, 100.0],
+                        np.float32)
+        results = trainer.evaluate(test)
+        print(json.dumps({"train": metrics, "eval": results}, indent=2))
+        if args.checkpoint_dir:
+            from unirec_tpu.utils.checkpoint import save_checkpoint
+
+            class _S:  # minimal state for save_checkpoint
+                params = trainer.params
+                opt_state = trainer.opt_state
+                step = args.num_steps
+
+            save_checkpoint(args.checkpoint_dir, _S, config=cfg,
+                            extra={"final_metrics": results})
+        return 0
+
+    if args.cmd == "item-qformer":
+        import numpy as np
+
+        from unirec_tpu.data.cache import build_cache
+        from unirec_tpu.encoders.item_encoder import ItemEncoder
+        from unirec_tpu.train.item_qformer import train_item_qformer
+
+        with open(args.data) as f:
+            data = json.load(f)
+        items = []
+        for iid, item in data.items():
+            item = dict(item)
+            item["item_id"] = iid
+            items.append(item)
+        if args.max_samples:
+            items = items[: args.max_samples]
+        with open(args.sequences) as f:
+            seq_data = json.load(f)
+        sequences = [
+            s["history"] for s in seq_data
+            if "history" in s and len(s["history"]) > 1
+        ]
+        cache = build_cache(
+            items, ItemEncoder(), cache_dir=args.cache_dir
+        )
+        # 90/10 split, seed 42 (reference: item_qformer_training.py:64-68)
+        rng = np.random.default_rng(args.seed)
+        perm = rng.permutation(len(cache))
+        split = int(0.9 * len(cache))
+        val_rows = perm[split:]
+
+        mc = ItemQFormerConfig(
+            num_fields=cache.num_fields,
+            field_embedding_dim=cache.embedding_dim,
+            num_query_tokens=args.num_query_tokens,
+            hidden_size=args.hidden_size,
+            num_hidden_layers=args.num_layers,
+            num_attention_heads=args.num_heads,
+            intermediate_size=args.intermediate_size,
+        )
+        tc = TrainConfig(
+            batch_size=args.batch_size,
+            num_epochs=args.num_epochs,
+            seed=args.seed,
+            eval_every_epochs=args.eval_every,
+            optimizer=OptimizerConfig(learning_rate=args.learning_rate),
+            mesh=MeshConfig(dp=args.dp, tp=args.tp),
+        )
+        _, metrics = train_item_qformer(
+            cache, sequences, mc, tc, val_rows=val_rows,
+            checkpoint_dir=args.checkpoint_dir,
+            contrastive_weight=args.contrastive_weight,
+        )
+        print(json.dumps(metrics, indent=2))
+        return 0
+
+    if args.cmd == "user-qformer":
+        from unirec_tpu.data.cache import FieldEmbeddingCache
+        from unirec_tpu.inference.qformer_inference import QFormerInference
+        from unirec_tpu.models.item_qformer import ItemQFormer
+        from unirec_tpu.train.user_qformer import train_user_qformer
+
+        inf = QFormerInference(args.item_qformer_checkpoint)
+        cache = FieldEmbeddingCache.load(args.cache_dir)
+        with open(args.history) as f:
+            histories = json.load(f)
+        with open(args.reviews) as f:
+            reviews_raw = json.load(f)
+        # review dict is keyed "user|asin" -> regroup per item
+        reviews: dict = {}
+        for key, review in reviews_raw.items():
+            item_id = key.split("|", 1)[-1]
+            reviews.setdefault(item_id, []).append(review)
+        tc = TrainConfig(
+            batch_size=args.batch_size, num_epochs=args.num_epochs,
+            seed=args.seed,
+            optimizer=OptimizerConfig(learning_rate=args.learning_rate),
+            mesh=MeshConfig(dp=args.dp, tp=args.tp),
+        )
+        model = ItemQFormer(inf.config)
+        _, metrics = train_user_qformer(
+            cache, histories, reviews, model, inf.params,
+            train_config=tc, max_seq_len=args.max_seq_len,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        print(json.dumps(metrics, indent=2))
+        return 0
+
+    if args.cmd == "joint":
+        return _run_joint(args)
+
+    if args.cmd == "evaluate":
+        from unirec_tpu.data.cache import FieldEmbeddingCache
+        from unirec_tpu.eval.reconstruction import (
+            evaluate_reconstruction_quality,
+        )
+        from unirec_tpu.inference.qformer_inference import QFormerInference
+        from unirec_tpu.models.item_qformer import ItemQFormer
+
+        inf = QFormerInference(args.checkpoint)
+        cache = FieldEmbeddingCache.load(args.cache_dir)
+        model = ItemQFormer(inf.config)
+        res = evaluate_reconstruction_quality(
+            model, inf.params, cache, batch_size=args.batch_size
+        )
+        print(json.dumps(res, indent=2))
+        return 0
+
+    raise SystemExit(f"unknown command {args.cmd}")
+
+
+def _run_joint(args) -> int:
+    import numpy as np
+
+    from unirec_tpu.configs import (
+        JointModelConfig,
+        LoRAConfig,
+        MeshConfig,
+        OptimizerConfig,
+        Qwen3Config,
+        TrainConfig,
+    )
+    from unirec_tpu.data.cache import FieldEmbeddingCache
+    from unirec_tpu.data.tokenizer import make_tokenizer
+    from unirec_tpu.inference.qformer_inference import QFormerInference
+    from unirec_tpu.train.joint import JointDataset, JointTrainer
+
+    with open(args.train_data) as f:
+        train_data = json.load(f)
+    with open(args.val_data) as f:
+        val_data = json.load(f)
+    with open(args.item_emb) as f:
+        item_emb_dict = json.load(f)
+    with open(args.item_dict) as f:
+        item_dict = json.load(f)
+
+    inf = QFormerInference(args.qformer_checkpoint)
+    cache = FieldEmbeddingCache.load(args.cache_dir)
+    qwen_cfg = Qwen3Config()
+    jc = JointModelConfig(max_length=args.max_length)
+    tokenizer = make_tokenizer(
+        args.hf_path, qwen_cfg.vocab_size,
+        jc.num_history_items, jc.num_query_tokens_per_item,
+    )
+    emb_dim = len(next(iter(item_emb_dict.values())))
+    train_ds = JointDataset(train_data, item_emb_dict, tokenizer, item_dict,
+                            cache, jc, item_emb_dim=emb_dim)
+    val_ds = JointDataset(val_data, item_emb_dict, tokenizer, item_dict,
+                          cache, jc, item_emb_dim=emb_dim)
+
+    tc = TrainConfig(
+        batch_size=args.batch_size, num_epochs=args.num_epochs,
+        seed=args.seed,
+        optimizer=OptimizerConfig(
+            learning_rate=args.learning_rate, warmup_steps=20,
+            max_grad_norm=1.0,
+        ),
+        mesh=MeshConfig(dp=args.dp, tp=args.tp),
+    )
+    trainer = JointTrainer(
+        qwen_cfg, inf.config, jc, lora=LoRAConfig(), train_config=tc,
+        dtype="bfloat16" if args.bf16 else "float32", remat=True,
+    )
+
+    qwen_params = None
+    if args.hf_path:
+        from unirec_tpu.utils.torch_convert import convert_qwen3
+        import torch
+        from transformers import AutoModel
+
+        hf = AutoModel.from_pretrained(args.hf_path, torch_dtype=torch.float32)
+        qwen_params = convert_qwen3(hf.state_dict(), qwen_cfg.num_hidden_layers)
+
+    qf_params = inf.params.get("params", inf.params)
+    state = trainer.init_state(qformer_params=qf_params, qwen_params=qwen_params)
+
+    print("initial eval:", json.dumps(trainer.evaluate(state, val_ds)))
+    rng = np.random.default_rng(args.seed)
+    best_mrr = -1.0
+    for epoch in range(args.num_epochs):
+        state, metrics = trainer.train_epoch(state, train_ds, rng)
+        ev = trainer.evaluate(state, val_ds)
+        print(f"epoch {epoch + 1}: {metrics} eval: {json.dumps(ev)}")
+        if ev["mrr"] > best_mrr and args.checkpoint_dir:
+            best_mrr = ev["mrr"]
+            from unirec_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(args.checkpoint_dir, state, config=jc,
+                            extra={"mrr": best_mrr})
+    print(f"best MRR: {best_mrr:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
