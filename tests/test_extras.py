@@ -1,0 +1,88 @@
+"""Extras: field/modality-id conditioning, greedy generation, profiling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unirec_tpu.configs import ItemQFormerConfig, QFormerConfig
+from unirec_tpu.models.item_qformer import ItemQFormer
+from unirec_tpu.models.qformer import QFormerLMHeadModel, greedy_generate
+from unirec_tpu.utils.profiling import ProgressWriter, ThroughputMeter
+
+
+def test_field_type_embeddings_option():
+    cfg = ItemQFormerConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, num_query_tokens=4, field_embedding_dim=32,
+        num_fields=5, dropout=0.0, use_field_type_embeddings=True,
+    )
+    model = ItemQFormer(cfg)
+    rng = jax.random.PRNGKey(0)
+    fields = jax.random.normal(rng, (2, 5, 32))
+    mask = jnp.ones((2, 5))
+    modality_ids = jnp.asarray([0, 0, 1, 2, 3])
+    params = model.init(rng, fields, mask, modality_ids=modality_ids)
+    assert "field_id_embeddings" in params["params"]
+    assert "modality_id_embeddings" in params["params"]
+    out = model.apply(params, fields, mask, modality_ids=modality_ids)
+    assert out["query_outputs"].shape == (2, 4, 32)
+    # swapping two fields' positions changes the output (position-conditioned)
+    fields2 = fields[:, [1, 0, 2, 3, 4]]
+    out2 = model.apply(params, fields2, mask, modality_ids=modality_ids)
+    # small at init (id embeddings have std 0.02) but strictly nonzero —
+    # without the id embeddings the Q-Former is field-permutation-invariant
+    assert np.abs(
+        np.asarray(out["query_outputs"]) - np.asarray(out2["query_outputs"])
+    ).max() > 1e-6
+
+
+def test_greedy_generate_shapes_and_determinism():
+    cfg = QFormerConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, encoder_width=24, query_length=4,
+        vocab_size=50, max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    model = QFormerLMHeadModel(cfg)
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (2, 4, 32))
+    mem = jax.random.normal(rng, (2, 3, 24))
+    ids = jnp.ones((2, 8), jnp.int32)
+    params = model.init(
+        rng, input_ids=ids, query_embeds=q, encoder_hidden_states=mem
+    )
+    out = greedy_generate(
+        model, params, q, mem, bos_token_id=1, eos_token_id=2,
+        max_new_tokens=8,
+    )
+    assert out.shape == (2, 8)
+    assert (np.asarray(out[:, 0]) == 1).all()
+    out2 = greedy_generate(
+        model, params, q, mem, bos_token_id=1, eos_token_id=2,
+        max_new_tokens=8,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_throughput_meter_and_progress(tmp_path):
+    m = ThroughputMeter(total_items=100)
+    for _ in range(3):
+        m.start_batch()
+        m.end_batch(10)
+    s = m.stats()
+    assert s["items_done"] == 30 and s["items_per_sec"] > 0
+    assert m.eta_seconds() >= 0
+
+    p = str(tmp_path / "prog.json")
+    w = ProgressWriter(p, every_batches=2)
+    w.update({"done": 1})
+    import os
+
+    assert not os.path.exists(p)  # below cadence
+    w.update({"done": 2})
+    assert os.path.exists(p)
+    w.finish({"done": 3})
+    import json
+
+    with open(p) as f:
+        assert json.load(f)["done"] == 3

@@ -138,6 +138,12 @@ class ItemQFormerConfig:
     field_embedding_dim: int = 1024
     num_fields: int = 14
     dropout: float = 0.2
+    # Optional field-id / modality-id conditioning: learned embeddings added
+    # to each field's value embedding before the Q-Former.  Salvages the
+    # design idea from the reference's dead triplet encoder
+    # (models/item_encoder_triplet.py:160-183; SURVEY.md §7.1.2).
+    use_field_type_embeddings: bool = False
+    num_modalities: int = 4
 
     def qformer(self) -> QFormerConfig:
         return QFormerConfig(

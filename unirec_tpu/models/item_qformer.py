@@ -41,6 +41,7 @@ class ItemQFormer(nn.Module):
         field_embeddings: jax.Array,
         attention_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
+        modality_ids: Optional[jax.Array] = None,  # [F] schema modality ids
     ) -> Dict[str, jax.Array]:
         cfg = self.config
         batch = field_embeddings.shape[0]
@@ -58,6 +59,26 @@ class ItemQFormer(nn.Module):
 
         if attention_mask is None:
             attention_mask = jnp.ones(field_embeddings.shape[:2], jnp.float32)
+
+        if cfg.use_field_type_embeddings:
+            # field-id + modality-id embeddings summed onto value embeddings
+            # ("triplet" conditioning; salvages the reference's dead sketch,
+            # models/item_encoder_triplet.py:160-183).
+            field_table = self.param(
+                "field_id_embeddings",
+                nn.initializers.normal(stddev=0.02),
+                (cfg.num_fields, cfg.field_embedding_dim),
+            )
+            field_embeddings = field_embeddings + field_table[None, :, :]
+            if modality_ids is not None:
+                modality_table = self.param(
+                    "modality_id_embeddings",
+                    nn.initializers.normal(stddev=0.02),
+                    (cfg.num_modalities, cfg.field_embedding_dim),
+                )
+                field_embeddings = (
+                    field_embeddings + modality_table[modality_ids][None, :, :]
+                )
 
         # Queries are never masked (reference: models/qformer_utils.py:43).
         query_attention_mask = jnp.ones((batch, cfg.num_query_tokens), jnp.float32)

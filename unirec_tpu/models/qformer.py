@@ -445,6 +445,65 @@ class QFormerLMHeadModel(nn.Module):
         return logits
 
 
+def greedy_generate(
+    model: "QFormerLMHeadModel",
+    params,
+    query_embeds: jax.Array,
+    encoder_hidden_states: Optional[jax.Array] = None,
+    encoder_attention_mask: Optional[jax.Array] = None,
+    bos_token_id: int = 30522 - 1,
+    eos_token_id: int = 102,
+    pad_token_id: int = 0,
+    max_new_tokens: int = 32,
+) -> jax.Array:
+    """Greedy decoding with the UniLM decoder mask (functional equivalent of
+    the reference's HF-generate helpers, models/qformer.py:1104-1135).
+
+    Fixed-shape: the text buffer is padded to ``max_new_tokens`` and positions
+    after EOS are frozen to ``pad_token_id``; each step re-runs the forward at
+    full length (no KV cache — generation is not a UniRec hot path; the hot
+    paths are the encoder forwards).
+    """
+    batch = query_embeds.shape[0]
+    k = query_embeds.shape[1]
+    ids = jnp.full((batch, max_new_tokens), pad_token_id, jnp.int32)
+    ids = ids.at[:, 0].set(bos_token_id)
+    finished = jnp.zeros((batch,), bool)
+
+    def fwd(ids, length_mask):
+        full_mask = jnp.concatenate(
+            [jnp.ones((batch, k), jnp.float32), length_mask], axis=1
+        )
+        return model.apply(
+            params,
+            input_ids=ids,
+            attention_mask=full_mask,
+            query_embeds=query_embeds,
+            encoder_hidden_states=encoder_hidden_states,
+            encoder_attention_mask=encoder_attention_mask,
+        )
+
+    def body(carry, step):
+        ids, finished = carry
+        length_mask = (
+            jnp.arange(max_new_tokens)[None, :] <= step
+        ).astype(jnp.float32).repeat(batch, axis=0)
+        logits = fwd(ids, length_mask)  # [B, T, V]
+        next_tok = jnp.argmax(logits[:, step], axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(finished, pad_token_id, next_tok)
+        write = jnp.minimum(step + 1, max_new_tokens - 1)
+        ids = ids.at[:, write].set(
+            jnp.where(step + 1 < max_new_tokens, next_tok, ids[:, write])
+        )
+        finished = finished | (next_tok == eos_token_id)
+        return (ids, finished), None
+
+    (ids, _), _ = jax.lax.scan(
+        body, (ids, finished), jnp.arange(max_new_tokens - 1)
+    )
+    return ids
+
+
 class QFormerForMaskedLM(nn.Module):
     """Masked-LM head over text positions
     (reference: models/qformer.py:1138-1223; the reference's MLM path crashes

@@ -28,6 +28,7 @@ from typing import Any, Dict, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from unirec_tpu.configs import LoRAConfig, Qwen3Config
 
@@ -325,34 +326,45 @@ def last_token_pool(hidden: jax.Array, attention_mask: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def tp_spec_for_path(names, ndim: int):
+    """Megatron-style PartitionSpec for a Qwen3 parameter path.
+
+    Column-parallel (shard output dim over 'tp'): q/k/v/gate/up kernels and
+    their lora_b.  Row-parallel (shard input dim): o/down kernels and their
+    lora_a.  Everything else replicated.  Works on any path that embeds the
+    module names — params, optimizer mu/nu, etc.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in names]
+    joined = "/".join(str(n) for n in names)
+    leaf = str(names[-1]) if names else ""
+    if ndim != 2:
+        return P()
+    col = any(m in joined for m in ("q_proj", "k_proj", "v_proj",
+                                     "gate_proj", "up_proj"))
+    row = any(m in joined for m in ("o_proj", "down_proj"))
+    if leaf == "kernel":
+        if col:
+            return P(None, "tp")
+        if row:
+            return P("tp", None)
+    if leaf == "lora_b" and col:
+        return P(None, "tp")
+    if leaf == "lora_a" and row:
+        return P("tp", None)
+    return P()
+
+
 def tp_shardings(params: Dict, mesh) -> Dict:
-    """PartitionSpec tree for Qwen3 params: attention heads + MLP hidden
+    """NamedSharding tree for Qwen3 params: attention heads + MLP hidden
     sharded over the 'tp' axis; everything else replicated.  Apply with
     jax.device_put / jit in_shardings; GSPMD inserts the all-reduces."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    def spec_for(path: tuple) -> "P":
-        names = [p.key if hasattr(p, "key") else str(p) for p in path]
-        joined = "/".join(names)
-        if names[-1] == "kernel":
-            if any(m in joined for m in ("q_proj", "k_proj", "v_proj",
-                                          "gate_proj", "up_proj")):
-                return P(None, "tp")  # column parallel
-            if any(m in joined for m in ("o_proj", "down_proj")):
-                return P("tp", None)  # row parallel
-        if names[-1] == "lora_b" and any(
-            m in joined for m in ("q_proj", "k_proj", "v_proj", "gate_proj",
-                                   "up_proj")
-        ):
-            return P(None, "tp")
-        if names[-1] == "lora_a" and any(
-            m in joined for m in ("o_proj", "down_proj")
-        ):
-            return P("tp", None)
-        if names[-1] in ("embed_tokens", "extra_embed_tokens"):
-            return P(None, None)
-        return P()
+    from jax.sharding import NamedSharding
 
     return jax.tree_util.tree_map_with_path(
-        lambda path, x: NamedSharding(mesh, spec_for(path)), params
+        lambda path, x: NamedSharding(
+            mesh, tp_spec_for_path(path, np.ndim(x))
+        ),
+        params,
     )

@@ -34,7 +34,17 @@ def make_mesh(
     config: MeshConfig = MeshConfig(), devices: Optional[Sequence[Any]] = None
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    dp, tp = config.axis_sizes(len(devices))
+    if config.dp > 0:
+        # explicit sizes: use the first dp*tp devices
+        tp = max(1, config.tp)
+        need = config.dp * tp
+        if need > len(devices):
+            raise ValueError(f"mesh {config.dp}x{tp} needs {need} devices, "
+                             f"have {len(devices)}")
+        devices = devices[:need]
+        dp = config.dp
+    else:
+        dp, tp = config.axis_sizes(len(devices))
     dev_array = np.asarray(devices).reshape(dp, tp)
     return Mesh(dev_array, (DP_AXIS, TP_AXIS))
 
@@ -89,4 +99,28 @@ def data_parallel_jit(step_fn, mesh: Mesh, donate_state: bool = True):
         in_shardings=(state_sh, batch_sh),
         out_shardings=(state_sh, state_sh),
         donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def mixed_parallel_jit(
+    step_fn, mesh: Mesh, state_shardings, donate_state: bool = True
+):
+    """Like data_parallel_jit but with an explicit sharding tree for the train
+    state (e.g. Qwen3 kernels tensor-sharded over 'tp' via
+    models/qwen3.tp_shardings, everything else replicated).  Under GSPMD the
+    matching activation shardings and all-reduces are inferred."""
+    batch_sh = batch_sharding(mesh)
+    metrics_sh = replicated(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_shardings, batch_sh),
+        out_shardings=(state_shardings, metrics_sh),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def shard_like(tree: Any, shardings: Any) -> Any:
+    """device_put every leaf with its sharding from a matching tree."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), tree, shardings
     )

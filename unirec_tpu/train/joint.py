@@ -212,13 +212,34 @@ class JointTrainer:
         )
         self.mesh = make_mesh(self.train_config.mesh)
         self.dp_size = self.mesh.shape["dp"]
-        self._train_step = data_parallel_jit(
-            make_joint_train_step(self.model), self.mesh
-        )
+        self.tp_size = self.mesh.shape["tp"]
+        self._raw_step = make_joint_train_step(self.model)
+        self._train_step = None  # jitted lazily once state shardings exist
+        self._state_shardings = None
         self._eval_fwd = jax.jit(
             lambda p, ids, m, he, hm: self.model.apply(
                 {"params": p}, ids, m, he, hm
             )
+        )
+
+    def state_shardings(self, state: TrainState):
+        """Sharding tree for the train state: Qwen3 kernels tensor-sharded
+        over 'tp' (models/qwen3.tp_spec_for_path matches params AND the
+        optimizer's mu/nu trees by path), everything else replicated."""
+        from jax.sharding import NamedSharding
+
+        from unirec_tpu.models.qwen3 import tp_spec_for_path
+
+        if self.tp_size <= 1:
+            from unirec_tpu.parallel.mesh import replicated
+
+            sh = replicated(self.mesh)
+            return jax.tree_util.tree_map(lambda _: sh, state)
+        return jax.tree_util.tree_map_with_path(
+            lambda path, x: NamedSharding(
+                self.mesh, tp_spec_for_path(path, np.ndim(x))
+            ),
+            state,
         )
 
     def init_state(
@@ -260,7 +281,13 @@ class JointTrainer:
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx
         )
-        return replicate(self.mesh, state)
+        self._state_shardings = self.state_shardings(state)
+        from unirec_tpu.parallel.mesh import mixed_parallel_jit, shard_like
+
+        self._train_step = mixed_parallel_jit(
+            self._raw_step, self.mesh, self._state_shardings
+        )
+        return shard_like(state, self._state_shardings)
 
     def train_epoch(
         self,
