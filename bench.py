@@ -43,7 +43,10 @@ REFERENCE_ITEMS_PER_SEC = 9.8  # measured: reference torch pipeline, this host
 
 
 def bench_item_token_generation(batch: int = 4096, iters: int = 5) -> float:
-    model = ItemQFormer(ItemQFormerConfig(), dtype=jnp.bfloat16)
+    # the inference config: bf16 + fast softmax (what QFormerInference uses)
+    model = ItemQFormer(
+        ItemQFormerConfig(fast_attention=True), dtype=jnp.bfloat16
+    )
     rng = jax.random.PRNGKey(0)
     fields = jax.random.normal(rng, (batch, 14, 1024), jnp.float32)
     mask = jnp.ones((batch, 14))

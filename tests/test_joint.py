@@ -193,7 +193,7 @@ def test_joint_training_step_and_eval(joint_setup, eight_devices):
     state = trainer.init_state()
     rng = np.random.default_rng(0)
     state, m0 = trainer.train_epoch(state, ds, rng)
-    for _ in range(4):
+    for _ in range(9):
         state, m1 = trainer.train_epoch(state, ds, rng)
     assert np.isfinite(m1["loss"])
     assert m1["loss"] < m0["loss"]
@@ -223,15 +223,17 @@ def test_frozen_base_unchanged_after_training(joint_setup, eight_devices):
     before = np.asarray(
         state.params["base_model"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
     ).copy()
+    # note: lora_b (zero-init) gets gradient on step 1; lora_a only after
+    # lora_b is nonzero — so probe lora_b
     lora_before = np.asarray(
-        state.params["base_model"]["layers_0"]["self_attn"]["q_proj"]["lora_a"]
+        state.params["base_model"]["layers_0"]["self_attn"]["q_proj"]["lora_b"]
     ).copy()
     state, _ = trainer.train_epoch(state, ds, np.random.default_rng(0))
     after = np.asarray(
         state.params["base_model"]["layers_0"]["self_attn"]["q_proj"]["kernel"]
     )
     lora_after = np.asarray(
-        state.params["base_model"]["layers_0"]["self_attn"]["q_proj"]["lora_a"]
+        state.params["base_model"]["layers_0"]["self_attn"]["q_proj"]["lora_b"]
     )
     np.testing.assert_array_equal(before, after)  # frozen
     assert np.abs(lora_after - lora_before).max() > 0  # LoRA trained

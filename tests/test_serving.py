@@ -1,0 +1,134 @@
+"""Serving: Recommender end-to-end + HTTP server round trip."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unirec_tpu.configs import (
+    ItemQFormerConfig,
+    JointModelConfig,
+    LoRAConfig,
+    tiny_qwen3_config,
+)
+from unirec_tpu.data.cache import FieldEmbeddingCache
+from unirec_tpu.data.tokenizer import HashTokenizer
+from unirec_tpu.models.joint import MultiModalQwenEmbedding
+from unirec_tpu.serving.recommender import Recommender
+
+QWEN = tiny_qwen3_config(max_position_embeddings=64)
+F, FD = 3, 16
+QF = ItemQFormerConfig(
+    hidden_size=QWEN.hidden_size, num_hidden_layers=1, num_attention_heads=2,
+    intermediate_size=64, num_query_tokens=2, field_embedding_dim=FD,
+    num_fields=F, dropout=0.0,
+)
+JC = JointModelConfig(num_history_items=2, num_query_tokens_per_item=2,
+                      max_length=32)
+
+
+@pytest.fixture(scope="module")
+def recommender():
+    rng = np.random.RandomState(0)
+    n = 20
+    item_ids = [f"i{j}" for j in range(n)]
+    cache = FieldEmbeddingCache(
+        embeddings=rng.randn(n, F, FD).astype(np.float32),
+        masks=np.ones((n, F), np.float32),
+        fields=["a", "b", "c"],
+        item_ids=item_ids,
+    )
+    catalog = {
+        iid: rng.randn(QWEN.hidden_size).astype(np.float32).tolist()
+        for iid in item_ids
+    }
+    item_dict = {iid: {"title": f"Item {iid}"} for iid in item_ids}
+    tok = HashTokenizer(QWEN.vocab_size, JC.num_history_items,
+                        JC.num_query_tokens_per_item)
+    model = MultiModalQwenEmbedding(QWEN, QF, JC, lora=LoRAConfig(r=2))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, JC.max_length), jnp.int32),
+        jnp.ones((1, JC.max_length)),
+        jnp.zeros((1, JC.num_history_items, F, FD)),
+        jnp.ones((1, JC.num_history_items, F)),
+    )
+    return Recommender(model, params, tok, item_dict, cache, catalog,
+                       batch_size=4)
+
+
+def test_encode_users_fixed_shapes(recommender):
+    users = recommender.encode_users([["i0", "i1"], ["i5"], [], ["i2", "i3"],
+                                      ["i4"]])
+    assert users.shape == (5, QWEN.hidden_size)
+    np.testing.assert_allclose(np.linalg.norm(users, axis=1), 1.0, rtol=1e-4)
+
+
+def test_recommend_top_k(recommender):
+    recs = recommender.recommend([["i0", "i1"], ["i3"]], k=5)
+    assert len(recs) == 2 and all(len(r) == 5 for r in recs)
+    # excluded history
+    assert all(r.item_id not in {"i0", "i1"} for r in recs[0])
+    # scores sorted desc
+    s = [r.score for r in recs[0]]
+    assert s == sorted(s, reverse=True)
+    # brute force agreement for user 1
+    users = recommender.encode_users([["i3"]])
+    cat = recommender.catalog / np.linalg.norm(
+        recommender.catalog, axis=1, keepdims=True
+    )
+    sims = cat @ users[0]
+    best = [recommender.catalog_ids[j] for j in np.argsort(-sims)]
+    best = [b for b in best if b != "i3"][:5]
+    assert [r.item_id for r in recs[1]] == best
+
+
+def test_score_candidates(recommender):
+    ranking = recommender.score_candidates(["i0"], ["i5", "i6", "unknown"])
+    assert len(ranking) == 3
+    assert {r[0] for r in ranking} == {"i5", "i6", "unknown"}
+    scores = [r[1] for r in ranking]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_http_server_roundtrip(recommender):
+    from unirec_tpu.serving.server import make_handler
+    from http.server import HTTPServer
+
+    server = HTTPServer(("127.0.0.1", 0), make_handler(recommender))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz"
+        ) as resp:
+            health = json.loads(resp.read())
+        assert health["ok"] and health["catalog_size"] == 20
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/recommend",
+            data=json.dumps({"history": ["i0"], "k": 3}).encode(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        assert len(out["items"]) == 3
+        assert all("item_id" in r and "score" in r for r in out["items"])
+
+        # malformed body -> 400
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/recommend", data=b"{not json",
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()

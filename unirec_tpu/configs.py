@@ -114,6 +114,9 @@ class QFormerConfig:
     initializer_range: float = 0.02
     hidden_act: str = "gelu"
     gradient_checkpointing: bool = False
+    # Inference-only bf16 softmax path (~20% faster on TPU for the tiny
+    # per-item attention shapes); keep False for training / strict parity.
+    fast_attention: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -144,6 +147,7 @@ class ItemQFormerConfig:
     # (models/item_encoder_triplet.py:160-183; SURVEY.md §7.1.2).
     use_field_type_embeddings: bool = False
     num_modalities: int = 4
+    fast_attention: bool = False
 
     def qformer(self) -> QFormerConfig:
         return QFormerConfig(
@@ -157,6 +161,7 @@ class ItemQFormerConfig:
             cross_attention_freq=2,
             encoder_width=self.field_embedding_dim,
             query_length=self.num_query_tokens,
+            fast_attention=self.fast_attention,
         )
 
 

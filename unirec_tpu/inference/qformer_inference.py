@@ -73,6 +73,12 @@ class QFormerInference:
         self.item_encoder = item_encoder
         self.device = device or jax.default_backend()
         self.batch_size = batch_size
+        # inference path: bf16 compute + fast softmax (opt-out via config)
+        import dataclasses as _dc
+
+        if not config.fast_attention and jax.default_backend() == "tpu":
+            config = _dc.replace(config, fast_attention=True)
+            self.config = config
         self.model = ItemQFormer(config, dtype=jnp.bfloat16)
         self._forward = jax.jit(
             lambda p, emb, mask: self.model.apply(p, emb, mask)["query_outputs"]

@@ -150,7 +150,8 @@ class QFormerAttention(nn.Module):
             if (drop_rate > 0.0 and not deterministic)
             else None
         )
-        if self.is_cross:
+        fast = cfg.fast_attention and deterministic
+        if self.is_cross and not fast:
             ctx = cross_attention(
                 q,
                 k,
@@ -169,6 +170,7 @@ class QFormerAttention(nn.Module):
                 dropout_rate=drop_rate,
                 dropout_rng=rng,
                 deterministic=deterministic,
+                fast=fast,
             )
         ctx = merge_heads(ctx)
 

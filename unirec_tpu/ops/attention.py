@@ -97,15 +97,35 @@ def attention(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    fast: bool = False,
 ) -> jax.Array:
     """XLA attention.  q,k,v: [B, H, L, hd]; bias broadcastable to scores.
 
-    Softmax runs in fp32 regardless of input dtype (the reference runs fp32
-    throughout; under bf16 this preserves the normalizer).  Attention-prob
-    dropout drops whole key positions, matching nn.Dropout on probs
-    (reference: models/qformer.py:256-258).
+    Default: softmax in fp32 regardless of input dtype (the reference runs
+    fp32 throughout; under bf16 this preserves the normalizer).
+    Attention-prob dropout drops whole key positions, matching nn.Dropout on
+    probs (reference: models/qformer.py:256-258).
+
+    ``fast=True`` (inference-only): bf16 scores with the exp in fp32 after a
+    bf16 max-subtract — ~20% faster on small-L attention where the tiny
+    batched matmuls bottleneck the MXU; relative error vs the fp32 path is
+    ~1e-2, comparable to the reference's own fp16 training precision
+    (train_item_individual_token_joint.py:762).
     """
     in_dtype = q.dtype
+    if fast and (deterministic or dropout_rate == 0.0) and in_dtype == jnp.bfloat16:
+        scale = jnp.bfloat16(1.0 / float(q.shape[-1]) ** 0.5)
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.bfloat16
+        ) * scale
+        if bias is not None:
+            s = s + bias.astype(jnp.bfloat16)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp((s - m).astype(jnp.float32)).astype(jnp.bfloat16)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True).astype(jnp.bfloat16)
+        return jnp.einsum(
+            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.bfloat16
+        )
     scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     scores = scores * scale

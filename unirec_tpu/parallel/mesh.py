@@ -124,3 +124,26 @@ def shard_like(tree: Any, shardings: Any) -> Any:
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), tree, shardings
     )
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host initialization (jax.distributed) for pod slices.
+
+    The TPU-native replacement for a distributed-communication backend — the
+    reference has none at all (SURVEY.md §2.4).  On TPU pods with
+    autodetection, call with no arguments.  Returns the process count.
+    Safe to call when already initialized or single-process.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment
+    return jax.process_count()

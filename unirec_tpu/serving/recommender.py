@@ -1,0 +1,164 @@
+"""Serving: end-to-end recommendation from trained checkpoints.
+
+The reference has no serving layer (SURVEY.md §0 "no serving layer"); its eval
+loop ranks a fixed 100-candidate pool per user offline.  This module closes
+the loop for production use:
+
+* ``Recommender`` — loads the joint model (or a lighter user-embedding stack),
+  encodes user histories in one jit forward, and ranks the FULL item catalog
+  with the Pallas blocked matmul+top-K kernel (ops/ranking.retrieve_top_k) —
+  O(B*D + N*D + B*K) HBM traffic, no [B, N] score matrix;
+* a batched request API with fixed shapes: requests are padded to the
+  compiled batch size, so serving never retraces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unirec_tpu.configs import (
+    ItemQFormerConfig,
+    JointModelConfig,
+    LoRAConfig,
+    Qwen3Config,
+)
+from unirec_tpu.data.cache import FieldEmbeddingCache
+from unirec_tpu.data.tokenizer import BaseTokenizer
+from unirec_tpu.models.joint import MultiModalQwenEmbedding, construct_input_text
+from unirec_tpu.ops.losses import l2_normalize
+from unirec_tpu.ops.ranking import retrieve_top_k, top_k_items
+
+
+@dataclasses.dataclass
+class Recommendation:
+    item_id: str
+    score: float
+
+
+class Recommender:
+    """Joint-model recommender over a precomputed catalog."""
+
+    def __init__(
+        self,
+        model: MultiModalQwenEmbedding,
+        params,
+        tokenizer: BaseTokenizer,
+        item_dict: Dict[str, Dict],
+        field_cache: FieldEmbeddingCache,
+        catalog_embeddings: Dict[str, Sequence[float]],
+        batch_size: int = 8,
+    ):
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.item_dict = item_dict
+        self.cache = field_cache
+        self.batch_size = batch_size
+        self.jc = model.joint_config
+
+        self.catalog_ids: List[str] = list(catalog_embeddings)
+        self.catalog = np.asarray(
+            [catalog_embeddings[i] for i in self.catalog_ids], np.float32
+        )
+        self._catalog_dev = jnp.asarray(self.catalog)
+
+        self._fwd = jax.jit(
+            lambda p, ids, m, he, hm: self.model.apply(
+                {"params": p} if "params" not in p else p, ids, m, he, hm
+            )
+        )
+
+    # -- user encoding -----------------------------------------------------
+
+    def _build_batch(self, histories: Sequence[Sequence[str]]):
+        jc = self.jc
+        n = len(histories)
+        f = self.cache.num_fields
+        fd = self.cache.embedding_dim
+        input_ids = np.zeros((n, jc.max_length), np.int32)
+        attn = np.zeros((n, jc.max_length), np.float32)
+        hist_emb = np.zeros((n, jc.num_history_items, f, fd), np.float32)
+        hist_mask = np.zeros((n, jc.num_history_items, f), np.float32)
+        for i, history in enumerate(histories):
+            history = [str(h) for h in history][-jc.num_history_items:]
+            e, m = self.cache.gather(history)
+            hist_emb[i, : len(history)] = e
+            hist_mask[i, : len(history)] = m
+            text = construct_input_text(
+                history, self.item_dict, jc.num_history_items,
+                jc.num_query_tokens_per_item,
+            )
+            ids, mask = self.tokenizer.encode(text, jc.max_length)
+            input_ids[i], attn[i] = ids, mask
+        return input_ids, attn, hist_emb, hist_mask
+
+    def encode_users(self, histories: Sequence[Sequence[str]]) -> np.ndarray:
+        """[num_users, D] L2-normalized user embeddings; fixed-shape batches."""
+        out = []
+        bs = self.batch_size
+        for i in range(0, len(histories), bs):
+            chunk = list(histories[i : i + bs])
+            n = len(chunk)
+            while len(chunk) < bs:
+                chunk.append([])  # pad with empty histories
+            ids, attn, he, hm = self._build_batch(chunk)
+            emb = self._fwd(
+                self.params, jnp.asarray(ids), jnp.asarray(attn),
+                jnp.asarray(he), jnp.asarray(hm),
+            )
+            out.append(np.asarray(l2_normalize(emb), np.float32)[:n])
+        return np.concatenate(out, axis=0)
+
+    # -- ranking -----------------------------------------------------------
+
+    def recommend(
+        self,
+        histories: Sequence[Sequence[str]],
+        k: int = 10,
+        exclude_history: bool = True,
+    ) -> List[List[Recommendation]]:
+        """Top-k catalog items per user (full-catalog retrieval)."""
+        users = self.encode_users(histories)
+        scores, idx = retrieve_top_k(
+            jnp.asarray(users), self._catalog_dev,
+            k=k + (self.jc.num_history_items if exclude_history else 0),
+        )
+        scores = np.asarray(scores)
+        idx = np.asarray(idx)
+        results: List[List[Recommendation]] = []
+        for u, history in enumerate(histories):
+            seen = set(map(str, history)) if exclude_history else set()
+            recs: List[Recommendation] = []
+            for s, j in zip(scores[u], idx[u]):
+                iid = self.catalog_ids[int(j)]
+                if iid in seen:
+                    continue
+                recs.append(Recommendation(iid, float(s)))
+                if len(recs) == k:
+                    break
+            results.append(recs)
+        return results
+
+    def score_candidates(
+        self, history: Sequence[str], candidate_ids: Sequence[str]
+    ) -> List[Tuple[str, float]]:
+        """Rank an explicit candidate pool (the reference's eval setting)."""
+        user = self.encode_users([history])[0]
+        default = np.zeros(self.catalog.shape[1], np.float32)
+        cand = np.asarray(
+            [
+                self.catalog[self.catalog_ids.index(c)]
+                if c in self.catalog_ids
+                else default
+                for c in map(str, candidate_ids)
+            ]
+        )
+        cand = np.asarray(l2_normalize(jnp.asarray(cand)))
+        sims = cand @ user
+        order = np.argsort(-sims)
+        return [(str(candidate_ids[i]), float(sims[i])) for i in order]

@@ -48,15 +48,38 @@ def epoch_batches(
     num_examples: int,
     batch_size: int,
     shuffle: bool = True,
-    drop_last: bool = False,
+    drop_last: Optional[bool] = None,
 ) -> Iterator[np.ndarray]:
-    """Yield index arrays per batch; host-side, cheap."""
+    """Yield index arrays per batch; host-side, cheap.
+
+    drop_last defaults to True whenever at least one full batch exists: a
+    ragged tail batch would retrace/recompile the jitted step for a new shape
+    (minutes on a cold TPU compile).  When the dataset is smaller than one
+    batch, the single short batch is yielded.
+    """
     idx = np.arange(num_examples)
     if shuffle:
         rng.shuffle(idx)
+    if drop_last is None:
+        drop_last = num_examples >= batch_size
     stop = num_examples - (num_examples % batch_size) if drop_last else num_examples
+    stop = max(stop, min(batch_size, num_examples))
     for i in range(0, stop, batch_size):
         yield idx[i : i + batch_size]
+
+
+def pad_to_batch(batch, batch_size: int):
+    """Pad a dict-of-arrays batch to a fixed leading size (repeat last row);
+    returns (padded, original_n).  Keeps eval jit shapes constant."""
+    n = next(iter(batch.values())).shape[0]
+    if n == batch_size:
+        return batch, n
+    pad = batch_size - n
+    padded = {
+        k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+        for k, v in batch.items()
+    }
+    return padded, n
 
 
 def mean_metrics(metric_list: Sequence[Dict[str, Any]]) -> Dict[str, float]:

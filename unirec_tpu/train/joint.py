@@ -318,12 +318,20 @@ class JointTrainer:
         ks: Tuple[int, ...] = (1, 5, 10),
     ) -> Dict[str, float]:
         """MRR + Recall@K + NDCG@K over the full candidate pool
-        (reference MRREvaluator :355-419 + the metrics BASELINE.json adds)."""
-        all_metrics: List[Dict[str, float]] = []
-        weights: List[int] = []
+        (reference MRREvaluator :355-419 + the metrics BASELINE.json adds).
+
+        Tail batches are padded to ``batch_size`` so every step reuses one
+        compiled shape; padded rows' ranks are trimmed before aggregation.
+        """
+        from unirec_tpu.ops.ranking import rank_of_positive
+        from unirec_tpu.train.common import pad_to_batch
+
+        rank_fn = jax.jit(rank_of_positive)
+        ranks: List[np.ndarray] = []
         for i in range(0, len(dataset), batch_size):
             idx = list(range(i, min(i + batch_size, len(dataset))))
             batch = dataset.batch(idx, max_negatives=max_negatives)
+            batch, n = pad_to_batch(batch, batch_size)
             user = self._eval_fwd(
                 state.params,
                 jnp.asarray(batch["input_ids"]),
@@ -331,17 +339,19 @@ class JointTrainer:
                 jnp.asarray(batch["history_field_embeddings"]),
                 jnp.asarray(batch["history_attention_mask"]),
             )
-            m = ranking_metrics(
+            r = rank_fn(
                 user,
                 jnp.asarray(batch["positive_item_embeddings"]),
                 jnp.asarray(batch["negative_item_embeddings"]),
                 jnp.asarray(batch["negative_masks"]),
-                ks=ks,
             )
-            all_metrics.append({k: float(v) for k, v in m.items()})
-            weights.append(len(idx))
-        total = sum(weights)
-        return {
-            k: sum(m[k] * w for m, w in zip(all_metrics, weights)) / total
-            for k in all_metrics[0]
-        }
+            ranks.append(np.asarray(r)[:n])
+        all_ranks = np.concatenate(ranks).astype(np.float64)
+        out: Dict[str, float] = {"mrr": float(np.mean(1.0 / all_ranks))}
+        for k in ks:
+            hit = all_ranks <= k
+            out[f"recall@{k}"] = float(hit.mean())
+            out[f"ndcg@{k}"] = float(
+                np.where(hit, 1.0 / np.log2(all_ranks + 1.0), 0.0).mean()
+            )
+        return out

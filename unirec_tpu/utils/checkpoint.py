@@ -49,17 +49,52 @@ def save_checkpoint(
     return directory
 
 
-def load_checkpoint(directory: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """Returns (tree with params/opt_state/step, meta dict)."""
+def load_checkpoint(
+    directory: str, target: Optional[Any] = None
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Returns (tree with params/opt_state/step, meta dict).
+
+    Pass ``target`` (a template tree, e.g. from a freshly created TrainState:
+    ``{"params": s.params, "opt_state": s.opt_state, "step": 0}``) to restore
+    optax NamedTuple structures — orbax otherwise returns plain dicts, which
+    optax update functions reject.
+    """
     directory = os.path.abspath(directory)
     ckpt = ocp.PyTreeCheckpointer()
-    tree = ckpt.restore(os.path.join(directory, "state"))
+    path = os.path.join(directory, "state")
+    if target is not None:
+        template = _host_tree(target)
+        try:
+            tree = ckpt.restore(path, item=template)
+        except TypeError:  # newer orbax arg API
+            tree = ckpt.restore(
+                path, args=ocp.args.PyTreeRestore(item=template)
+            )
+    else:
+        tree = ckpt.restore(path)
     meta_path = os.path.join(directory, "meta.json")
     meta: Dict[str, Any] = {}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
     return tree, meta
+
+
+def restore_train_state(directory: str, template_state):
+    """Restore a full TrainState (params + optimizer state + step) from a
+    checkpoint using a freshly initialized state as the structure template."""
+    target = {
+        "params": template_state.params,
+        "opt_state": template_state.opt_state,
+        "step": 0,
+    }
+    tree, meta = load_checkpoint(directory, target=target)
+    state = template_state.replace(
+        params=tree["params"],
+        opt_state=tree["opt_state"],
+        step=int(tree["step"]),
+    )
+    return state, meta
 
 
 def restore_config(meta: Dict[str, Any], config_cls):
