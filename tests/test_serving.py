@@ -132,3 +132,21 @@ def test_http_server_roundtrip(recommender):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_quantized_recommender(recommender):
+    from unirec_tpu.serving.recommender import Recommender
+
+    q_rec = Recommender(
+        recommender.model, recommender.params, recommender.tokenizer,
+        recommender.item_dict, recommender.cache,
+        {i: recommender.catalog[j]
+         for j, i in enumerate(recommender.catalog_ids)},
+        batch_size=4, quantize_catalog=True,
+    )
+    r_fp = recommender.recommend([["i0", "i1"]], k=5)[0]
+    r_q = q_rec.recommend([["i0", "i1"]], k=5)[0]
+    # int8 vs fp32: top item identical, top-5 sets nearly identical
+    assert r_fp[0].item_id == r_q[0].item_id
+    overlap = len({r.item_id for r in r_fp} & {r.item_id for r in r_q})
+    assert overlap >= 4

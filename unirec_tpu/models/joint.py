@@ -78,6 +78,13 @@ class MultiModalQwenEmbedding(nn.Module):
         history_attention_mask: Optional[jax.Array] = None,  # [B, H, F]
         deterministic: bool = True,
     ) -> jax.Array:
+        if self.qformer_config.hidden_size != self.qwen_config.hidden_size:
+            raise ValueError(
+                "query-token injection requires Q-Former hidden_size "
+                f"({self.qformer_config.hidden_size}) == LLM hidden_size "
+                f"({self.qwen_config.hidden_size}); the reference uses 1024 "
+                "for both (train_item_individual_token_joint.py:107-109)"
+            )
         jc = self.joint_config
         n_special = self.num_special_tokens
 

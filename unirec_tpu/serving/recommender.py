@@ -52,6 +52,7 @@ class Recommender:
         field_cache: FieldEmbeddingCache,
         catalog_embeddings: Dict[str, Sequence[float]],
         batch_size: int = 8,
+        quantize_catalog: bool = False,
     ):
         self.model = model
         self.params = params
@@ -65,7 +66,18 @@ class Recommender:
         self.catalog = np.asarray(
             [catalog_embeddings[i] for i in self.catalog_ids], np.float32
         )
-        self._catalog_dev = jnp.asarray(self.catalog)
+        self.quantized = quantize_catalog
+        if quantize_catalog:
+            # int8 catalog: 4x less HBM, MXU int8 scoring
+            # (unirec_tpu/ops/quantization.py)
+            from unirec_tpu.ops.quantization import quantize_rows
+
+            q, scales = quantize_rows(jnp.asarray(self.catalog))
+            self._catalog_q = q
+            self._catalog_scales = scales
+            self._catalog_dev = None
+        else:
+            self._catalog_dev = jnp.asarray(self.catalog)
 
         self._fwd = jax.jit(
             lambda p, ids, m, he, hm: self.model.apply(
@@ -124,10 +136,18 @@ class Recommender:
     ) -> List[List[Recommendation]]:
         """Top-k catalog items per user (full-catalog retrieval)."""
         users = self.encode_users(histories)
-        scores, idx = retrieve_top_k(
-            jnp.asarray(users), self._catalog_dev,
-            k=k + (self.jc.num_history_items if exclude_history else 0),
-        )
+        fetch = k + (self.jc.num_history_items if exclude_history else 0)
+        if self.quantized:
+            from unirec_tpu.ops.quantization import retrieve_top_k_int8
+
+            scores, idx = retrieve_top_k_int8(
+                jnp.asarray(users), self._catalog_q, self._catalog_scales,
+                k=fetch,
+            )
+        else:
+            scores, idx = retrieve_top_k(
+                jnp.asarray(users), self._catalog_dev, k=fetch
+            )
         scores = np.asarray(scores)
         idx = np.asarray(idx)
         results: List[List[Recommendation]] = []
