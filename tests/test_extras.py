@@ -86,3 +86,24 @@ def test_throughput_meter_and_progress(tmp_path):
 
     with open(p) as f:
         assert json.load(f)["done"] == 3
+
+
+def test_prefetch_to_device():
+    from unirec_tpu.train.common import prefetch_to_device
+
+    batches = [{"x": np.full((2, 2), i, np.float32)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])
+        assert hasattr(b["x"], "devices")  # on device
+
+
+def test_nan_checks_context():
+    from unirec_tpu.utils.debug import nan_checks
+
+    with nan_checks():
+        with np.testing.assert_raises(Exception):
+            jax.jit(lambda x: x / 0.0)(jnp.ones(4)).block_until_ready()
+    # restored afterwards: no raise
+    jax.jit(lambda x: x / 0.0)(jnp.ones(4)).block_until_ready()

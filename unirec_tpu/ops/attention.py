@@ -324,8 +324,10 @@ def cross_attention(
     """
     needs_dropout = dropout_rate > 0.0 and not deterministic
     if use_flash is None:
+        # auto-dispatch only for inference: the Pallas kernel defines no VJP,
+        # so training forwards (even with dropout 0) stay on the XLA path
         on_tpu = jax.default_backend() == "tpu"
-        use_flash = on_tpu and not needs_dropout and k.shape[2] >= _FLASH_MIN_KV
+        use_flash = on_tpu and deterministic and k.shape[2] >= _FLASH_MIN_KV
     if use_flash and not needs_dropout:
         return flash_cross_attention(q, k, v, bias)
     return attention(

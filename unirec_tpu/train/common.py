@@ -82,6 +82,36 @@ def pad_to_batch(batch, batch_size: int):
     return padded, n
 
 
+def prefetch_to_device(iterator, size: int = 2, sharding=None):
+    """Double-buffered device prefetch: keeps `size` batches in flight so the
+    host-side gather/assembly of batch N+1 overlaps the device step on batch
+    N (the TPU analog of the reference's DataLoader prefetch_factor,
+    item_qformer_training.py:86-102)."""
+    import collections
+    import itertools
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch
+            )
+        else:
+            batch = jax.tree_util.tree_map(jax.device_put, batch)
+        queue.append(batch)
+
+    it = iter(iterator)
+    for batch in itertools.islice(it, size):
+        put(batch)
+    while queue:
+        yield queue.popleft()
+        for batch in itertools.islice(it, 1):
+            put(batch)
+
+
 def mean_metrics(metric_list: Sequence[Dict[str, Any]]) -> Dict[str, float]:
     if not metric_list:
         return {}
