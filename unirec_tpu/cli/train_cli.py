@@ -81,7 +81,11 @@ def main(argv=None) -> int:
                     help="local HF Qwen3 checkpoint for base weights")
     sp.add_argument("--max-length", type=int, default=512)
     sp.add_argument("--eval-every-steps", type=int, default=20)
+    sp.add_argument("--save-strategy", default="both",
+                    choices=["best_only", "always", "both"])
     sp.add_argument("--bf16", action="store_true", default=True)
+    sp.add_argument("--tiny", action="store_true",
+                    help="2-layer Qwen3 (hidden 1024) for smoke tests / CPU")
     _common_train_flags(sp, 16, 500, 1e-4)
 
     sp = sub.add_parser("evaluate")
@@ -289,7 +293,17 @@ def _run_joint(args) -> int:
 
     inf = QFormerInference(args.qformer_checkpoint)
     cache = FieldEmbeddingCache.load(args.cache_dir)
-    qwen_cfg = Qwen3Config()
+    if getattr(args, "tiny", False):
+        from unirec_tpu.configs import tiny_qwen3_config
+
+        qwen_cfg = tiny_qwen3_config(
+            vocab_size=4096, hidden_size=inf.config.hidden_size,
+            intermediate_size=1024, num_hidden_layers=2,
+            num_attention_heads=8, num_key_value_heads=4, head_dim=128,
+            max_position_embeddings=max(128, args.max_length),
+        )
+    else:
+        qwen_cfg = Qwen3Config()
     jc = JointModelConfig(max_length=args.max_length)
     tokenizer = make_tokenizer(
         args.hf_path, qwen_cfg.vocab_size,
@@ -327,20 +341,38 @@ def _run_joint(args) -> int:
     qf_params = inf.params.get("params", inf.params)
     state = trainer.init_state(qformer_params=qf_params, qwen_params=qwen_params)
 
-    print("initial eval:", json.dumps(trainer.evaluate(state, val_ds)))
-    rng = np.random.default_rng(args.seed)
-    best_mrr = -1.0
-    for epoch in range(args.num_epochs):
-        state, metrics = trainer.train_epoch(state, train_ds, rng)
-        ev = trainer.evaluate(state, val_ds)
-        print(f"epoch {epoch + 1}: {metrics} eval: {json.dumps(ev)}")
-        if ev["mrr"] > best_mrr and args.checkpoint_dir:
-            best_mrr = ev["mrr"]
-            from unirec_tpu.utils.checkpoint import save_checkpoint
+    # initial + per-N-steps MRR eval with save strategies, mirroring the
+    # reference's BestMRRCallback (train_item_individual_token_joint.py:788).
+    from unirec_tpu.train.callbacks import BestMetricTracker
+    from unirec_tpu.utils.checkpoint import save_checkpoint
 
-            save_checkpoint(args.checkpoint_dir, state, config=jc,
-                            extra={"mrr": best_mrr})
-    print(f"best MRR: {best_mrr:.4f}")
+    tracker = BestMetricTracker(
+        args.checkpoint_dir,
+        metric="mrr",
+        strategy=args.save_strategy,
+        eval_steps=args.eval_every_steps,
+        save_fn=lambda path, st: save_checkpoint(
+            path, st, config=jc, extra={"mrr": tracker.best}
+        ),
+    )
+    print("initial eval:", json.dumps(trainer.evaluate(state, val_ds)))
+
+    def hook(step, st, metrics):
+        if tracker.should_eval(step):
+            ev = trainer.evaluate(st, val_ds)
+            status = tracker.update(step, ev["mrr"], st)
+            print(f"step {step}: loss={metrics['loss']:.4f} "
+                  f"eval={json.dumps(ev)} {status}")
+        return st
+
+    rng = np.random.default_rng(args.seed)
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    state, _ = trainer.train_steps(
+        state, train_ds, rng, num_steps=args.num_epochs * steps_per_epoch,
+        step_hook=hook,
+    )
+    final = trainer.evaluate(state, val_ds)
+    print(f"final eval: {json.dumps(final)}; best MRR: {tracker.best:.4f}")
     return 0
 
 

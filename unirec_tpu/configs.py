@@ -148,6 +148,7 @@ class ItemQFormerConfig:
     use_field_type_embeddings: bool = False
     num_modalities: int = 4
     fast_attention: bool = False
+    gradient_checkpointing: bool = False
 
     def qformer(self) -> QFormerConfig:
         return QFormerConfig(
@@ -162,6 +163,7 @@ class ItemQFormerConfig:
             encoder_width=self.field_embedding_dim,
             query_length=self.num_query_tokens,
             fast_attention=self.fast_attention,
+            gradient_checkpointing=self.gradient_checkpointing,
         )
 
 

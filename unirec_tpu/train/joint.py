@@ -309,6 +309,38 @@ class JointTrainer:
             count += 1
         return state, {k: v / max(count, 1) for k, v in sums.items()}
 
+    def train_steps(
+        self,
+        state: TrainState,
+        dataset: JointDataset,
+        rng: np.random.Generator,
+        num_steps: int,
+        batch_size: Optional[int] = None,
+        step_hook=None,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        """Step-driven training with an optional per-step hook
+        (reference evaluates every N global steps via a Trainer callback,
+        train_item_individual_token_joint.py:439-474)."""
+        batch_size = batch_size or self.train_config.batch_size
+        it = None
+        last: Dict[str, float] = {}
+        for step in range(num_steps):
+            if it is None:
+                it = epoch_batches(rng, len(dataset), batch_size)
+            try:
+                idx = next(it)
+            except StopIteration:
+                it = epoch_batches(rng, len(dataset), batch_size)
+                idx = next(it)
+            batch = dataset.batch(idx)
+            batch, _ = pad_batch(batch, self.dp_size)
+            batch = shard_batch(self.mesh, batch)
+            state, metrics = self._train_step(state, batch)
+            last = {k: float(v) for k, v in metrics.items()}
+            if step_hook is not None:
+                state = step_hook(int(state.step), state, last) or state
+        return state, last
+
     def evaluate(
         self,
         state: TrainState,
