@@ -163,3 +163,44 @@ def test_full_user_driver(user_setup, tmp_path):
     cfg = restore_config(meta, UserQFormerConfig)
     assert cfg.num_item_tokens_to_predict == 4
     assert "loss" in meta
+
+
+def test_user_eval_metrics(user_setup, eight_devices):
+    from unirec_tpu.eval.user_eval import (
+        evaluate_user_qformer,
+        retrieval_metrics,
+        token_metrics,
+    )
+    from unirec_tpu.train.user_qformer import (
+        build_sliding_window_samples,
+        build_timestamp_map,
+    )
+
+    cache, iq, iq_params, histories, reviews = user_setup
+    toks = precompute_item_tokens(iq, iq_params, cache)
+
+    # perfect predictions -> cosine 1, retrieval hit@1 == 1
+    rows = np.array([0, 3, 7])
+    perfect = toks[rows]
+    tm = token_metrics(jnp.asarray(perfect), jnp.asarray(perfect))
+    assert tm["token_cosine"] > 0.999 and tm["token_mse"] < 1e-10
+    rm = retrieval_metrics(perfect, rows, toks)
+    assert rm["retrieval_hit@1"] == 1.0 and rm["retrieval_mrr"] == 1.0
+
+    # full evaluation through a trainer
+    uc = UserQFormerConfig(
+        hidden_size=D, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64, num_query_tokens=4, input_embedding_dim=D,
+        num_item_tokens_to_predict=4, dropout=0.0,
+    )
+    tc = TrainConfig(batch_size=16,
+                     optimizer=OptimizerConfig(learning_rate=1e-3),
+                     mesh=MeshConfig(dp=8))
+    trainer = UserQFormerTrainer(uc, tc, max_seq_len=8)
+    state = trainer.init_state()
+    samples = build_sliding_window_samples(histories, max_seq_len=8)
+    ts_map = build_timestamp_map(reviews)
+    m = evaluate_user_qformer(trainer, state, samples, toks, cache, ts_map)
+    assert set(m) >= {"token_mse", "token_cosine", "retrieval_mrr",
+                      "retrieval_hit@1"}
+    assert np.isfinite(m["token_mse"]) and 0 <= m["retrieval_mrr"] <= 1

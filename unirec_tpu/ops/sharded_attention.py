@@ -80,7 +80,10 @@ def sequence_parallel_cross_attention(
     rep = P()
     kv_spec = P(None, None, axis, None)
     bias_spec = P(None, None, None, axis)
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     if bias is None:
         fn = shard_map(

@@ -246,13 +246,20 @@ def train_user_qformer(
     ts_map = build_timestamp_map(review_data)
     item_tokens = precompute_item_tokens(item_qformer, item_qformer_params, cache)
 
-    state = trainer.init_state()
+    # 90/10 held-out split for real validation (the reference checkpoints by
+    # train loss only and has no val set, user_qformer_training.py:219-229).
     rng = np.random.default_rng(train_config.seed)
+    perm = rng.permutation(len(samples))
+    split = max(int(0.9 * len(samples)), 1)
+    train_samples = [samples[i] for i in perm[:split]]
+    val_samples = [samples[i] for i in perm[split:]]
+
+    state = trainer.init_state()
     best_loss = float("inf")
     metrics: Dict[str, float] = {}
     for epoch in range(train_config.num_epochs):
         state, metrics = trainer.train_epoch(
-            state, samples, item_tokens, cache, ts_map, rng
+            state, train_samples, item_tokens, cache, ts_map, rng
         )
         log_fn(f"epoch {epoch + 1}: {metrics}")
         if metrics["loss"] < best_loss:
@@ -264,4 +271,12 @@ def train_user_qformer(
                     checkpoint_dir, state, config=user_config,
                     extra={"epoch": epoch, "loss": best_loss},
                 )
+    if val_samples:
+        from unirec_tpu.eval.user_eval import evaluate_user_qformer
+
+        val = evaluate_user_qformer(
+            trainer, state, val_samples, item_tokens, cache, ts_map
+        )
+        log_fn(f"validation: {val}")
+        metrics = {**metrics, **val}
     return state, metrics
