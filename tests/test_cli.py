@@ -166,3 +166,33 @@ def test_module_dispatcher_help():
 
 def test_check_devices_flag():
     assert tokens_main(["--check-devices"]) == 0
+
+
+def test_tokens_cli_per_item_fallback(pipeline_dir, monkeypatch):
+    """A failing batch must degrade to per-item processing, not abort
+    (reference semantics: generate_all_item_embeddings.py:295-309)."""
+    d = pipeline_dir
+    if not os.path.exists(d / "cache"):
+        test_train_and_tokens_cli(pipeline_dir)
+
+    from unirec_tpu.inference import qformer_inference as qi
+
+    orig = qi.QFormerInference.query_tokens_from_embeddings
+    calls = {"n": 0}
+
+    def flaky(self, emb, mask):
+        calls["n"] += 1
+        if calls["n"] == 1 and emb.shape[0] > 1:
+            raise RuntimeError("injected batch failure")
+        return orig(self, emb, mask)
+
+    monkeypatch.setattr(qi.QFormerInference, "query_tokens_from_embeddings",
+                        flaky)
+    out = str(d / "tokens_fallback.pkl")
+    assert tokens_main(["--checkpoint", str(d / "iq_ckpt"),
+                        "--cache-dir", str(d / "cache"),
+                        "--output", out, "--batch-size", "64"]) == 0
+    with open(out, "rb") as f:
+        tokens = pickle.load(f)
+    assert len(tokens) == N_ITEMS  # every item still produced
+    assert calls["n"] > 1  # fallback actually ran per-item

@@ -237,3 +237,52 @@ def test_item_qformer_wrapper_parity():
             rtol=1e-4,
             err_msg=key,
         )
+
+
+def test_lm_head_model_parity():
+    """BertLMHeadModel logits + label-smoothed loss vs QFormerLMHeadModel."""
+    from models.qformer import BertLMHeadModel
+
+    from unirec_tpu.models.qformer import QFormerLMHeadModel
+    from unirec_tpu.utils.torch_convert import convert_qformer_lm_model
+
+    cfg, _ = make_torch_bert()
+    torch.manual_seed(4)
+    tmodel = BertLMHeadModel(cfg)
+    tmodel.eval()
+
+    rng = np.random.RandomState(4)
+    q = rng.randn(2, K, HIDDEN).astype(np.float32)
+    mem = rng.randn(2, 5, WIDTH).astype(np.float32)
+    ids = np.array([[5, 6, 7, 8], [9, 10, 11, 12]], dtype=np.int64)
+    full_mask = np.ones((2, K + 4), np.float32)
+    labels = ids.copy()
+
+    with torch.no_grad():
+        t_out = tmodel(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(full_mask),
+            query_embeds=torch.tensor(q),
+            encoder_hidden_states=torch.tensor(mem),
+            labels=torch.tensor(labels),
+            return_dict=True,
+        )
+    t_logits = t_out.logits.numpy()
+    t_loss = float(t_out.loss)
+
+    fmodel = QFormerLMHeadModel(flax_cfg())
+    params = {
+        "params": convert_qformer_lm_model(tmodel.state_dict(), flax_cfg())
+    }
+    f_logits, f_loss = fmodel.apply(
+        params,
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(full_mask),
+        query_embeds=jnp.asarray(q),
+        encoder_hidden_states=jnp.asarray(mem),
+        labels=jnp.asarray(labels),
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_logits), t_logits, atol=5e-5, rtol=1e-3
+    )
+    np.testing.assert_allclose(float(f_loss), t_loss, rtol=1e-4)

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import json
-from typing import Optional
 
 
 def _common_train_flags(sp, batch_size: int, epochs: int, lr: float):

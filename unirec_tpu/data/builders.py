@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 import random as _random
 from collections import defaultdict
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 # ---------------------------------------------------------------------------
 # Dict builders

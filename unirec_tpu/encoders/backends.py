@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import hashlib
 import io
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

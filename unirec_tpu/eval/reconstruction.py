@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unirec_tpu.configs import ItemQFormerConfig
 from unirec_tpu.data.cache import FieldEmbeddingCache
 from unirec_tpu.models.item_qformer import ItemQFormer
 from unirec_tpu.ops.losses import masked_reconstruction_mse

@@ -14,7 +14,7 @@ linear projections without bias into the shared space.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Optional
 
 import flax.linen as nn
 import jax

@@ -22,7 +22,7 @@ The self-supervised property trainer lives in unirec_tpu/train/mwne.py.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,7 @@ All shapes fixed (max_seq_len) for one jit trace.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -14,7 +14,7 @@ nearest default for serving snapshots).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

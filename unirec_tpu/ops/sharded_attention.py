@@ -15,14 +15,11 @@ collectives — no ring required at Q-Former scales (queries are tiny).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from unirec_tpu.ops.attention import NEG_INF
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def _local_partial_attention(q, k, v, bias):

@@ -17,7 +17,6 @@ logical axis rules (unirec_tpu/models/qwen3.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional, Sequence
 
 import jax

@@ -15,23 +15,17 @@ the loop for production use:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unirec_tpu.configs import (
-    ItemQFormerConfig,
-    JointModelConfig,
-    LoRAConfig,
-    Qwen3Config,
-)
 from unirec_tpu.data.cache import FieldEmbeddingCache
 from unirec_tpu.data.tokenizer import BaseTokenizer
 from unirec_tpu.models.joint import MultiModalQwenEmbedding, construct_input_text
 from unirec_tpu.ops.losses import l2_normalize
-from unirec_tpu.ops.ranking import retrieve_top_k, top_k_items
+from unirec_tpu.ops.ranking import retrieve_top_k
 
 
 @dataclasses.dataclass

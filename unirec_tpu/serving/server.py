@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 from http.server import BaseHTTPRequestHandler, HTTPServer
-from typing import Optional
 
 from unirec_tpu.serving.recommender import Recommender
 

@@ -22,13 +22,13 @@ negatives are sampled on the fly per epoch like the reference's __getitem__.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from unirec_tpu.configs import ItemQFormerConfig, OptimizerConfig, TrainConfig
+from unirec_tpu.configs import ItemQFormerConfig, TrainConfig
 from unirec_tpu.data.cache import FieldEmbeddingCache
 from unirec_tpu.models.item_qformer import ItemQFormer
 from unirec_tpu.ops.losses import item_qformer_loss, masked_reconstruction_mse

@@ -37,9 +37,7 @@ from unirec_tpu.data.cache import FieldEmbeddingCache
 from unirec_tpu.data.tokenizer import BaseTokenizer
 from unirec_tpu.models.joint import MultiModalQwenEmbedding, construct_input_text
 from unirec_tpu.ops.losses import info_nce_loss
-from unirec_tpu.ops.ranking import ranking_metrics
 from unirec_tpu.parallel.mesh import (
-    data_parallel_jit,
     make_mesh,
     pad_batch,
     replicate,

@@ -14,8 +14,7 @@ invertibility stats, and Spearman distance-rank correlation.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

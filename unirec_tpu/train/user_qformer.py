@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from unirec_tpu.configs import (
-    ItemQFormerConfig,
     OptimizerConfig,
     TrainConfig,
     UserQFormerConfig,

@@ -3,7 +3,7 @@ and path-based trainability filters for LoRA fine-tuning."""
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Callable, Dict
 
 import jax
 

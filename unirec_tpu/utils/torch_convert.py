@@ -134,6 +134,30 @@ def convert_user_qformer(
     }
 
 
+def convert_qformer_lm_head(sd: Mapping[str, Any], prefix: str = "cls.predictions") -> Dict[str, Any]:
+    """BertLMPredictionHead -> QFormerLMPredictionHead params
+    (reference: models/qformer.py:607-641: transform.dense -> act -> LayerNorm
+    -> decoder Linear(hidden, vocab) with a standalone bias)."""
+    decoder = {"kernel": _np(sd[f"{prefix}.decoder.weight"]).T}
+    if f"{prefix}.decoder.bias" in sd:
+        decoder["bias"] = _np(sd[f"{prefix}.decoder.bias"])
+    elif f"{prefix}.bias" in sd:
+        decoder["bias"] = _np(sd[f"{prefix}.bias"])
+    return {
+        "transform_dense": _dense(sd, f"{prefix}.transform.dense"),
+        "transform_LayerNorm": _layernorm(sd, f"{prefix}.transform.LayerNorm"),
+        "decoder": decoder,
+    }
+
+
+def convert_qformer_lm_model(sd: Mapping[str, Any], config) -> Dict[str, Any]:
+    """Torch BertLMHeadModel state_dict -> QFormerLMHeadModel params."""
+    return {
+        "bert": convert_qformer_model(sd, config, prefix="bert."),
+        "cls": convert_qformer_lm_head(sd),
+    }
+
+
 def convert_qwen3(sd: Mapping[str, Any], num_layers: int) -> Dict[str, Any]:
     """HF Qwen3Model state_dict -> unirec_tpu Qwen3Model params.
 
