@@ -237,3 +237,26 @@ def test_frozen_base_unchanged_after_training(joint_setup, eight_devices):
     )
     np.testing.assert_array_equal(before, after)  # frozen
     assert np.abs(lora_after - lora_before).max() > 0  # LoRA trained
+
+
+def test_remat_matches_no_remat(joint_setup):
+    """remat=True must not change joint forward outputs."""
+    ds = joint_setup
+    b = ds.batch([0, 1])
+    m1 = MultiModalQwenEmbedding(QWEN, QF, JC, lora=LoRAConfig(r=2))
+    m2 = MultiModalQwenEmbedding(QWEN, QF, JC, lora=LoRAConfig(r=2), remat=True)
+    args = (
+        jnp.asarray(b["input_ids"]), jnp.asarray(b["attention_mask"]),
+        jnp.asarray(b["history_field_embeddings"]),
+        jnp.asarray(b["history_attention_mask"]),
+    )
+    params = m1.init(jax.random.PRNGKey(0), *args)
+    o1 = m1.apply(params, *args)
+    o2 = m2.apply(params, *args)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+    # gradient flows through the remat path
+    g = jax.grad(
+        lambda p: m2.apply(p, *args).sum()
+    )(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)

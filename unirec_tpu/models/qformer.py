@@ -151,6 +151,11 @@ class QFormerAttention(nn.Module):
             else None
         )
         fast = cfg.fast_attention and deterministic
+        # Note: ops/packed_attention.py (item-packed MXU tiles) beats the XLA
+        # attention core 1.67x in isolation, but loses in-model because the
+        # pallas_call boundary breaks XLA's projection/softmax fusion
+        # (measured: 617 vs 577 ms at B=4096) — so the model keeps the XLA
+        # path and the packed kernel stays available as a standalone op.
         if self.is_cross and not fast:
             ctx = cross_attention(
                 q,

@@ -1,0 +1,153 @@
+"""Packed per-item attention: full MXU tiles for tiny per-item attention.
+
+The item Q-Former's attention is K=32 queries per item — a 32x64 @ 64x32
+matmul per (batch, head), which uses ~1/16 of the 128x128 MXU tile and is the
+structural bottleneck of the token-generation path (BASELINE.md: attention
+core ~100 ms of a 577 ms forward at batch 4096 while the GEMMs run at 81%
+MFU).
+
+This kernel packs P = 128 // K items into one tile: queries of P items are
+stacked into 128 rows, keys likewise, and one 128x128 score matmul computes
+all P items' scores at once.  Cross-item blocks are invalid and masked to
+-inf with a static block-diagonal mask before the softmax, so the result is
+exact — the 4x padding FLOPs buy ~16x better MXU utilization.
+
+Self-attention layout: q, k, v [B, H, K, hd] -> out [B, H, K, hd].
+Cross-attention: kv length F <= K packs the same way with per-key validity
+bias folded in.  Inference-only (no VJP) — training uses the XLA path.
+
+Measured on v5e (batch 4096, K=32, H=16): 1.67x faster than the XLA
+attention core in isolation (105.6 vs 176.6 ms for 12 layers), but when
+dropped inside the full Q-Former the pallas_call materialization boundary
+breaks XLA's fusion with the surrounding projections and the net effect is
+negative (617 vs 577 ms).  It therefore ships as a standalone op — the
+building block for a future fully-fused layer kernel — and is NOT wired into
+the model's dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def _packed_kernel(
+    q_ref,  # [P, 1, K, hd] (one head per grid step)
+    k_ref,  # [P, 1, F, hd]
+    v_ref,  # [P, 1, F, hd]
+    bias_ref,  # [1, 1, P*F] (pre-packed outside) or None
+    o_ref,  # [P, 1, K, hd]
+    *,
+    p_items: int,
+    n_q: int,
+    n_kv: int,
+    sm_scale: float,
+):
+    rows_q = p_items * n_q
+    rows_kv = p_items * n_kv
+    # static block-diagonal mask: query row of item i may only see key rows
+    # of item i
+    qi = jax.lax.broadcasted_iota(jnp.int32, (rows_q, rows_kv), 0) // n_q
+    ki = jax.lax.broadcasted_iota(jnp.int32, (rows_q, rows_kv), 1) // n_kv
+    block_mask = jnp.where(qi == ki, 0.0, NEG_INF).astype(jnp.float32)
+    if bias_ref is not None:
+        # [1, P*F] row broadcasts over query rows; kept 2-D (Mosaic rejects
+        # 1-D flattens of minor-dim merges)
+        block_mask = block_mask + bias_ref[0].astype(jnp.float32)
+
+    hd = q_ref.shape[-1]
+    q = q_ref[:, 0].astype(jnp.float32).reshape(rows_q, hd)
+    k = k_ref[:, 0].astype(jnp.float32).reshape(rows_kv, hd)
+    v = v_ref[:, 0].astype(jnp.float32).reshape(rows_kv, hd)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale
+    s = s + block_mask
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    c = jax.lax.dot_general(
+        e, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) / jnp.where(l == 0.0, 1.0, l)
+    o_ref[:, 0] = c.reshape(p_items, n_q, hd).astype(o_ref.dtype)
+
+
+def packed_item_attention(
+    q: jax.Array,  # [B, H, K, hd]
+    k: jax.Array,  # [B, H, F, hd]
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,  # [B, 1, 1, F]
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Exact attention via item-packed MXU tiles.  Requires 128 % K == 0
+    (K in {1,2,4,...,128}); falls back to caller's XLA path otherwise."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, n_q, hd = q.shape
+    n_kv = k.shape[2]
+    if 128 % n_q != 0:
+        raise ValueError(f"query count {n_q} must divide 128")
+    p_items = 128 // n_q
+    pad_b = (-b) % p_items
+    if pad_b:
+        q = jnp.pad(q, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, pad_b), (0, 0), (0, 0), (0, 0)))
+        if bias is not None:
+            bias = jnp.pad(
+                bias, ((0, pad_b), (0, 0), (0, 0), (0, 0)),
+                constant_values=NEG_INF,
+            )
+    bp = q.shape[0]
+    grid = (bp // p_items, h)
+
+    q_spec = pl.BlockSpec(
+        (p_items, 1, n_q, hd), lambda i, j: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kv_spec = pl.BlockSpec(
+        (p_items, 1, n_kv, hd), lambda i, j: (i, j, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    if bias is not None:
+        # pre-pack the per-key bias to [B/P, 1, P*F]: the kernel reads a 2-D
+        # [1, P*F] row (block dims equal to the trailing array dims, which
+        # Mosaic accepts for non-tile-aligned shapes)
+        bias = bias[:, 0, 0, :].reshape(bp // p_items, 1, p_items * n_kv)
+    bias_spec = pl.BlockSpec(
+        (1, 1, p_items * n_kv), lambda i, j: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(
+        _packed_kernel,
+        p_items=p_items,
+        n_q=n_q,
+        n_kv=n_kv,
+        sm_scale=1.0 / hd**0.5,
+    )
+    if bias is None:
+        body = lambda qr, kr, vr, orf: kernel(qr, kr, vr, None, orf)
+        in_specs = [q_spec, kv_spec, kv_spec]
+        args = (q, k, v)
+    else:
+        body = kernel
+        in_specs = [q_spec, kv_spec, kv_spec, bias_spec]
+        args = (q, k, v, bias)
+
+    out = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bp, h, n_q, hd), q.dtype),
+        interpret=interpret,
+    )(*args)
+    return out[:b]
