@@ -60,6 +60,7 @@ class QFormerInference:
         field_names: Optional[List[str]] = None,
         item_encoder=None,
         batch_size: int = 512,
+        mesh=None,
     ):
         if checkpoint_path is not None:
             config, params, field_names = self._load_checkpoint(checkpoint_path)
@@ -80,9 +81,37 @@ class QFormerInference:
             config = _dc.replace(config, fast_attention=True)
             self.config = config
         self.model = ItemQFormer(config, dtype=jnp.bfloat16)
-        self._forward = jax.jit(
-            lambda p, emb, mask: self.model.apply(p, emb, mask)["query_outputs"]
+        apply_fn = lambda p, emb, mask: (  # noqa: E731
+            self.model.apply(p, emb, mask)["query_outputs"]
         )
+        self.mesh = mesh
+        if mesh is not None:
+            # dp-sharded catalog sweep (SURVEY §6: >=10x items/s on v5e-8):
+            # params replicated, batch split over every mesh device; XLA
+            # runs the forward fully data-parallel with zero collectives.
+            from unirec_tpu.parallel.mesh import (
+                batch_sharding,
+                replicate,
+                replicated,
+            )
+
+            self.dp_size = mesh.shape["dp"]
+            if self.batch_size % self.dp_size:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by mesh size "
+                    f"{self.dp_size}"
+                )
+            self.params = replicate(mesh, self.params)
+            self._forward = jax.jit(
+                apply_fn,
+                in_shardings=(
+                    replicated(mesh), batch_sharding(mesh), batch_sharding(mesh),
+                ),
+                out_shardings=batch_sharding(mesh),
+            )
+        else:
+            self.dp_size = 1
+            self._forward = jax.jit(apply_fn)
         self._data_cache: Dict[str, Dict] = {}
 
     @staticmethod
@@ -110,21 +139,32 @@ class QFormerInference:
     def query_tokens_from_embeddings(
         self, field_embeddings: np.ndarray, masks: np.ndarray
     ) -> np.ndarray:
-        """[N, F, D] + [N, F] -> [N, K, hidden]; batched jit forward."""
+        """[N, F, D] + [N, F] -> [N, K, hidden]; batched jit forward.
+
+        Full chunks run at the fixed jit shape ``batch_size``; a lone
+        undersized call runs at its natural shape (padded up to the dp mesh
+        size when sharded) so small catalogs don't compile the full-batch
+        HLO; a tail after full chunks is padded to ``batch_size`` — one
+        compiled shape per regime, never a per-tail retrace.
+        """
         n = field_embeddings.shape[0]
         outs = []
         bs = self.batch_size
         for i in range(0, n, bs):
-            emb = jnp.asarray(field_embeddings[i : i + bs], jnp.float32)
-            mask = jnp.asarray(masks[i : i + bs], jnp.float32)
-            # pad the tail to the jit batch shape to avoid recompilation
-            pad = bs - emb.shape[0]
-            if pad > 0 and i > 0:
-                emb = jnp.pad(emb, ((0, pad), (0, 0), (0, 0)))
-                mask = jnp.pad(mask, ((0, pad), (0, 0)))
-                out = self._forward(self.params, emb, mask)[: bs - pad]
-            else:
-                out = self._forward(self.params, emb, mask)
+            emb = np.asarray(field_embeddings[i : i + bs], np.float32)
+            mask = np.asarray(masks[i : i + bs], np.float32)
+            take = emb.shape[0]
+            # single undersized call: pad only to the dp multiple
+            target = (
+                -(-take // self.dp_size) * self.dp_size if i == 0 and n <= bs
+                else bs
+            )
+            pad = target - take
+            if pad > 0:
+                emb = np.pad(emb, ((0, pad), (0, 0), (0, 0)))
+                mask = np.pad(mask, ((0, pad), (0, 0)))
+            # numpy in, jit places per in_shardings (split over dp if meshed)
+            out = self._forward(self.params, emb, mask)[:take]
             outs.append(np.asarray(out, np.float32))
         return np.concatenate(outs, axis=0)
 
