@@ -150,3 +150,17 @@ def test_split_deterministic():
     tr1, te1 = train_test_split(samples, 0.2, seed=1)
     tr2, te2 = train_test_split(samples, 0.2, seed=1)
     assert tr1 == tr2 and te1 == te2 and len(te1) == 2
+
+
+def test_make_tokenizer_fail_loud_vs_fallback(tmp_path):
+    """Explicit-but-broken tokenizer path must raise (VERDICT r1 #7);
+    the hash fallback is only for the no-path case."""
+    import pytest
+
+    from unirec_tpu.data.tokenizer import HashTokenizer, make_tokenizer
+
+    tok = make_tokenizer(None, base_vocab_size=1000)
+    assert isinstance(tok, HashTokenizer)
+
+    with pytest.raises(ValueError, match="failed to load HF tokenizer"):
+        make_tokenizer(str(tmp_path / "definitely_not_a_tokenizer"))

@@ -37,6 +37,8 @@ def parse_args(argv=None):
     p.add_argument("--output", default="item_query_tokens.pkl",
                    help=".pkl or .json output path")
     p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--min-batch-size", type=int, default=16,
+                   help="floor for the HBM-aware batch downshift")
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--profile", action="store_true",
                    help="print per-batch timing stats")
@@ -71,6 +73,26 @@ def _save(tokens: Dict[str, np.ndarray], output: str) -> None:
     else:
         with open(output, "wb") as f:
             pickle.dump(tokens, f)
+
+
+def is_oom_error(e: BaseException) -> bool:
+    """OOM-shaped failure from the TPU runtime/compiler (RESOURCE_EXHAUSTED,
+    HBM/VMEM allocation) — the signal for the batch downshift, mirroring the
+    reference's GPU memory probe + halving
+    (reference: generate_all_item_embeddings.py:191-211)."""
+    s = str(e).lower()
+    return any(
+        key in s
+        for key in (
+            "resource_exhausted",
+            "resource exhausted",
+            "out of memory",
+            "ran out of memory",
+            "memory space hbm",
+            "memory space vmem",
+            "oom",
+        )
+    )
 
 
 def compare_processing_methods(inference, cache, sample_size: int = 50) -> Dict:
@@ -154,17 +176,32 @@ def main(argv=None) -> int:
     progress = ProgressWriter(args.progress_file)
     tokens: Dict[str, np.ndarray] = {}
 
+    current_bs = args.batch_size
     with profiler_trace(args.trace_dir):
-        for i in range(0, len(ids), args.batch_size):
-            batch_ids = ids[i : i + args.batch_size]
+        i = 0
+        while i < len(ids):
+            batch_ids = ids[i : i + current_bs]
             meter.start_batch()
             try:
                 emb, mask = cache.gather(batch_ids)
                 out = inference.query_tokens_from_embeddings(emb, mask)
                 for j, iid in enumerate(batch_ids):
                     tokens[iid] = out[j]
-            except Exception as e:  # per-batch fallback (reference :295-309)
-                print(f"batch {i // args.batch_size} failed ({e}); "
+            except Exception as e:
+                # HBM-aware downshift: an OOM-shaped failure halves the
+                # batch (sticky) and retries the same items — the TPU analog
+                # of the reference's memory probe + halving
+                # (reference: generate_all_item_embeddings.py:191-211).
+                if is_oom_error(e) and current_bs > max(args.min_batch_size, 1):
+                    current_bs = max(current_bs // 2, args.min_batch_size, 1)
+                    inference.batch_size = current_bs
+                    print(
+                        f"OOM at batch starting {i}; downshifting batch size "
+                        f"to {current_bs} and retrying", file=sys.stderr,
+                    )
+                    continue
+                # per-batch fallback (reference :295-309)
+                print(f"batch starting {i} failed ({e}); "
                       "falling back to per-item", file=sys.stderr)
                 for iid in batch_ids:
                     try:
@@ -176,6 +213,7 @@ def main(argv=None) -> int:
                         k = inference.config.num_query_tokens
                         h = inference.config.hidden_size
                         tokens[iid] = np.zeros((k, h), np.float32)
+            i += len(batch_ids)
             dt = meter.end_batch(len(batch_ids))
             if args.profile:
                 print(

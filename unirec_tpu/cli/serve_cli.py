@@ -17,7 +17,7 @@ import argparse
 import json
 
 
-def main(argv=None) -> int:
+def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", default=None,
                    help="joint-model orbax checkpoint dir (optional)")
@@ -35,8 +35,13 @@ def main(argv=None) -> int:
                    help="int8-quantize the catalog")
     p.add_argument("--tiny", action="store_true",
                    help="tiny Qwen3 config (smoke tests / CPU)")
-    args = p.parse_args(argv)
+    return p.parse_args(argv)
 
+
+def build_recommender(args):
+    """Load checkpoints + catalog and assemble the Recommender (separated
+    from ``main`` so integration tests can drive the pipeline end-to-end
+    without the blocking HTTP loop)."""
     import jax
 
     from unirec_tpu.configs import (
@@ -49,7 +54,6 @@ def main(argv=None) -> int:
     from unirec_tpu.inference.qformer_inference import QFormerInference
     from unirec_tpu.models.joint import MultiModalQwenEmbedding
     from unirec_tpu.serving.recommender import Recommender
-    from unirec_tpu.serving.server import serve
 
     with open(args.item_dict) as f:
         item_dict = json.load(f)
@@ -108,10 +112,17 @@ def main(argv=None) -> int:
             params["params"]["qformer"], qf_params
         )
 
-    rec = Recommender(
+    return Recommender(
         model, params, tokenizer, item_dict, cache, catalog,
         batch_size=args.batch_size, quantize_catalog=args.quantize,
     )
+
+
+def main(argv=None) -> int:
+    from unirec_tpu.serving.server import serve
+
+    args = parse_args(argv)
+    rec = build_recommender(args)
     serve(rec, host=args.host, port=args.port)
     return 0
 

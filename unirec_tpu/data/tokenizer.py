@@ -121,14 +121,22 @@ def make_tokenizer(
     num_history_items: int = 10,
     num_query_tokens_per_item: int = 2,
 ) -> BaseTokenizer:
-    """HF tokenizer when a local path/model is usable, hash fallback otherwise."""
+    """HF tokenizer when a path/model is given, hash tokenizer otherwise.
+
+    An explicit ``name_or_path`` that fails to load RAISES instead of silently
+    degrading: a typo'd checkpoint path must not train the flagship on hash
+    tokens.  The hash fallback is only for the no-path (weightless) case.
+    """
     if name_or_path:
         try:
             return HFTokenizer(
                 name_or_path, num_history_items, num_query_tokens_per_item
             )
-        except Exception:
-            pass
+        except Exception as e:
+            raise ValueError(
+                f"failed to load HF tokenizer from {name_or_path!r}; "
+                "pass name_or_path=None to use the hash tokenizer explicitly"
+            ) from e
     return HashTokenizer(
         base_vocab_size, num_history_items, num_query_tokens_per_item
     )

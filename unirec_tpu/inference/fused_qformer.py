@@ -1,0 +1,238 @@
+"""Fused-kernel inference engine for the Item Q-Former.
+
+Consumes the *same* parameter pytree as ``models.item_qformer.ItemQFormer``
+(so checkpoints, torch conversion, and training are untouched) but executes
+the encoder stack with the fused Pallas blocks from
+``ops/fused_qformer_layer.py``: one kernel per attention block, FFN on XLA
+(already ~82% MFU as a pure GEMM chain).  Inference-only — the hot path of
+item-query-token generation (reference hot loop:
+data_processing/generate_all_item_embeddings.py:148-346).
+
+Numerics: matmuls accumulate fp32, softmax and LayerNorm run fp32; with
+bf16 weights/activations this matches the ``fast_attention`` XLA path's
+precision class (BASELINE.md), while the default fp32 model path remains
+the strict-parity reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unirec_tpu.configs import ItemQFormerConfig
+from unirec_tpu.ops.fused_qformer_layer import (
+    NEG_INF,
+    fused_cross_attention_block,
+    fused_self_attention_block,
+)
+
+
+@dataclasses.dataclass
+class FusedLayerParams:
+    """Per-layer weights pre-fused for the kernels (QKV / KV concatenated)."""
+
+    wqkv: Any
+    bqkv: Any
+    self_wo: Any
+    self_bo: Any
+    self_ln_g: Any
+    self_ln_b: Any
+    # cross-attention (None on layers without it)
+    wq: Any = None
+    bq: Any = None
+    wkv: Any = None
+    bkv: Any = None
+    cross_wo: Any = None
+    cross_bo: Any = None
+    cross_ln_g: Any = None
+    cross_ln_b: Any = None
+    # query FFN
+    w1: Any = None
+    b1: Any = None
+    w2: Any = None
+    b2: Any = None
+    ffn_ln_g: Any = None
+    ffn_ln_b: Any = None
+
+    @property
+    def has_cross(self) -> bool:
+        return self.wq is not None
+
+
+jax.tree_util.register_dataclass(
+    FusedLayerParams,
+    data_fields=[f.name for f in dataclasses.fields(FusedLayerParams)],
+    meta_fields=[],
+)
+
+
+@dataclasses.dataclass
+class FusedQFormerParams:
+    query_embeddings: Any  # [1, K, D]
+    emb_ln_g: Any
+    emb_ln_b: Any
+    layers: List[FusedLayerParams]
+
+
+jax.tree_util.register_dataclass(
+    FusedQFormerParams,
+    data_fields=["query_embeddings", "emb_ln_g", "emb_ln_b", "layers"],
+    meta_fields=[],
+)
+
+
+def prepare_fused_params(
+    params, config: ItemQFormerConfig, dtype=jnp.bfloat16
+) -> FusedQFormerParams:
+    """ItemQFormer param tree -> kernel-ready fused weights (host-side,
+    one-time).  Accepts ``{"params": tree}`` or the inner tree."""
+    tree = params.get("params", params)
+    qf = tree["qformer"]
+    enc = qf["encoder"]
+    cfg = config.qformer() if hasattr(config, "qformer") else config
+
+    def arr(x):
+        # jnp.asarray casts in place on device — never pull params through
+        # the slow host<->device tunnel (CLAUDE.md: ~7 MB/s)
+        return jnp.asarray(x, dtype)
+
+    def dense(d):
+        return arr(d["kernel"]), arr(d["bias"])
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        lp = enc[f"layer_{i}"]
+        att = lp["attention"]
+        wq, bq = dense(att["query"])
+        wk, bk = dense(att["key"])
+        wv, bv = dense(att["value"])
+        wo, bo = dense(att["output_dense"])
+        layer = FusedLayerParams(
+            wqkv=jnp.concatenate([wq, wk, wv], axis=1),
+            bqkv=jnp.concatenate([bq, bk, bv]),
+            self_wo=wo,
+            self_bo=bo,
+            self_ln_g=arr(att["output_LayerNorm"]["scale"]),
+            self_ln_b=arr(att["output_LayerNorm"]["bias"]),
+        )
+        if "crossattention" in lp:
+            catt = lp["crossattention"]
+            cwq, cbq = dense(catt["query"])
+            cwk, cbk = dense(catt["key"])
+            cwv, cbv = dense(catt["value"])
+            cwo, cbo = dense(catt["output_dense"])
+            layer.wq, layer.bq = cwq, cbq
+            layer.wkv = jnp.concatenate([cwk, cwv], axis=1)
+            layer.bkv = jnp.concatenate([cbk, cbv])
+            layer.cross_wo, layer.cross_bo = cwo, cbo
+            layer.cross_ln_g = arr(catt["output_LayerNorm"]["scale"])
+            layer.cross_ln_b = arr(catt["output_LayerNorm"]["bias"])
+        ffn = lp["ffn_query"]
+        layer.w1, layer.b1 = dense(ffn["intermediate_dense"])
+        layer.w2, layer.b2 = dense(ffn["output_dense"])
+        layer.ffn_ln_g = arr(ffn["output_LayerNorm"]["scale"])
+        layer.ffn_ln_b = arr(ffn["output_LayerNorm"]["bias"])
+        layers.append(layer)
+
+    return FusedQFormerParams(
+        query_embeddings=arr(tree["query_embeddings"]),
+        emb_ln_g=arr(qf["embeddings"]["LayerNorm"]["scale"]),
+        emb_ln_b=arr(qf["embeddings"]["LayerNorm"]["bias"]),
+        layers=layers,
+    )
+
+
+def supports_fused(config: ItemQFormerConfig) -> bool:
+    """Kernel constraints: items must tile into 256 MXU rows and heads must
+    split the hidden dim."""
+    k = config.num_query_tokens
+    return (
+        k > 0
+        and 256 % k == 0
+        and config.hidden_size % config.num_attention_heads == 0
+    )
+
+
+def _ffn(x, layer: FusedLayerParams, eps: float):
+    """intermediate -> gelu -> output -> LayerNorm(residual); XLA.
+
+    fp32 uses the exact erf gelu (bit-tight parity with the reference);
+    bf16 uses the tanh approximation: it differs from erf by ~1e-3 — an
+    order below bf16 resolution — while XLA's erf polynomial costs +120 ms
+    at production shapes (measured round 2, .scratch/profile_ffn).
+    """
+    h = x @ layer.w1 + layer.b1
+    h = jax.nn.gelu(h, approximate=x.dtype == jnp.bfloat16)
+    h = h @ layer.w2 + layer.b2
+    y = (h + x).astype(jnp.float32)
+    mu = jnp.mean(y, axis=-1, keepdims=True)
+    yc = y - mu
+    var = jnp.mean(yc * yc, axis=-1, keepdims=True)
+    y = yc * jax.lax.rsqrt(var + eps)
+    y = y * layer.ffn_ln_g.astype(jnp.float32) + layer.ffn_ln_b.astype(
+        jnp.float32
+    )
+    return y.astype(x.dtype)
+
+
+def fused_qformer_forward(
+    fused: FusedQFormerParams,
+    config: ItemQFormerConfig,
+    field_embeddings: jax.Array,  # [B, F, field_dim]
+    attention_mask: Optional[jax.Array] = None,  # [B, F]
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """[B, F, D] cached field embeddings -> [B, K, hidden] query tokens.
+
+    Mirrors ItemQFormer.__call__'s query path (models/item_qformer.py:39-92)
+    minus the reconstruction heads (not needed for token generation).
+    """
+    cfg = config.qformer() if hasattr(config, "qformer") else config
+    b = field_embeddings.shape[0]
+    k = config.num_query_tokens
+    heads = cfg.num_attention_heads
+    eps = cfg.layer_norm_eps
+    f = field_embeddings.shape[1]
+
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, f), jnp.float32)
+    key_bias = (1.0 - attention_mask.astype(jnp.float32)) * NEG_INF
+
+    dtype = fused.query_embeddings.dtype
+    mem = field_embeddings.astype(dtype)
+
+    # embeddings: LayerNorm over the broadcast query tokens
+    h = jnp.broadcast_to(
+        fused.query_embeddings, (b, k, fused.query_embeddings.shape[-1])
+    ).astype(jnp.float32)
+    mu = jnp.mean(h, axis=-1, keepdims=True)
+    hc = h - mu
+    var = jnp.mean(hc * hc, axis=-1, keepdims=True)
+    h = hc * jax.lax.rsqrt(var + eps)
+    h = h * fused.emb_ln_g.astype(jnp.float32) + fused.emb_ln_b.astype(
+        jnp.float32
+    )
+    h = h.astype(dtype)
+
+    for layer in fused.layers:
+        h = fused_self_attention_block(
+            h, layer.wqkv, layer.bqkv, layer.self_wo, layer.self_bo,
+            layer.self_ln_g, layer.self_ln_b,
+            num_heads=heads, n_q=k, ln_eps=eps, interpret=interpret,
+        )
+        if layer.has_cross:
+            h = fused_cross_attention_block(
+                h, mem, key_bias,
+                layer.wq, layer.bq, layer.wkv, layer.bkv,
+                layer.cross_wo, layer.cross_bo,
+                layer.cross_ln_g, layer.cross_ln_b,
+                num_heads=heads, n_q=k, n_kv=f, ln_eps=eps,
+                interpret=interpret,
+            )
+        h = _ffn(h, layer, eps)
+    return h

@@ -61,6 +61,7 @@ class QFormerInference:
         item_encoder=None,
         batch_size: int = 512,
         mesh=None,
+        use_fused: Optional[bool] = None,
     ):
         if checkpoint_path is not None:
             config, params, field_names = self._load_checkpoint(checkpoint_path)
@@ -81,14 +82,42 @@ class QFormerInference:
             config = _dc.replace(config, fast_attention=True)
             self.config = config
         self.model = ItemQFormer(config, dtype=jnp.bfloat16)
-        apply_fn = lambda p, emb, mask: (  # noqa: E731
-            self.model.apply(p, emb, mask)["query_outputs"]
+
+        # Fused Pallas engine (inference/fused_qformer.py) — the default on
+        # TPU: one kernel per attention block, ~1.5x the XLA fast path.
+        from unirec_tpu.inference.fused_qformer import (
+            fused_qformer_forward,
+            prepare_fused_params,
+            supports_fused,
         )
+
+        if use_fused is None:
+            use_fused = (
+                jax.default_backend() == "tpu" and self.config.fast_attention
+            )
+        self.use_fused = bool(use_fused) and supports_fused(self.config)
+        if self.use_fused:
+            self._forward_params = prepare_fused_params(
+                self.params, self.config, dtype=jnp.bfloat16
+            )
+            cfg_static = self.config
+            # off-TPU the kernels run in interpret mode (tests/CI)
+            interp = jax.default_backend() != "tpu"
+            apply_fn = lambda fp, emb, mask: fused_qformer_forward(  # noqa: E731
+                fp, cfg_static, emb, mask, interpret=interp
+            )
+        else:
+            self._forward_params = self.params
+            apply_fn = lambda p, emb, mask: (  # noqa: E731
+                self.model.apply(p, emb, mask)["query_outputs"]
+            )
         self.mesh = mesh
         if mesh is not None:
             # dp-sharded catalog sweep (SURVEY §6: >=10x items/s on v5e-8):
-            # params replicated, batch split over every mesh device; XLA
-            # runs the forward fully data-parallel with zero collectives.
+            # params replicated, batch split over every mesh device; the
+            # forward runs fully data-parallel with zero collectives.
+            from jax.sharding import PartitionSpec as P
+
             from unirec_tpu.parallel.mesh import (
                 batch_sharding,
                 replicate,
@@ -101,14 +130,29 @@ class QFormerInference:
                     f"batch_size {batch_size} not divisible by mesh size "
                     f"{self.dp_size}"
                 )
-            self.params = replicate(mesh, self.params)
-            self._forward = jax.jit(
-                apply_fn,
-                in_shardings=(
-                    replicated(mesh), batch_sharding(mesh), batch_sharding(mesh),
-                ),
-                out_shardings=batch_sharding(mesh),
-            )
+            self._forward_params = replicate(mesh, self._forward_params)
+            if self.use_fused:
+                # GSPMD cannot partition a pallas_call; shard_map gives each
+                # device its per-shard batch explicitly.
+                self._forward = jax.jit(
+                    jax.shard_map(
+                        apply_fn,
+                        mesh=mesh,
+                        in_specs=(P(), P("dp"), P("dp")),
+                        out_specs=P("dp"),
+                        check_vma=False,
+                    )
+                )
+            else:
+                self._forward = jax.jit(
+                    apply_fn,
+                    in_shardings=(
+                        replicated(mesh),
+                        batch_sharding(mesh),
+                        batch_sharding(mesh),
+                    ),
+                    out_shardings=batch_sharding(mesh),
+                )
         else:
             self.dp_size = 1
             self._forward = jax.jit(apply_fn)
@@ -164,7 +208,7 @@ class QFormerInference:
                 emb = np.pad(emb, ((0, pad), (0, 0), (0, 0)))
                 mask = np.pad(mask, ((0, pad), (0, 0)))
             # numpy in, jit places per in_shardings (split over dp if meshed)
-            out = self._forward(self.params, emb, mask)[:take]
+            out = self._forward(self._forward_params, emb, mask)[:take]
             outs.append(np.asarray(out, np.float32))
         return np.concatenate(outs, axis=0)
 

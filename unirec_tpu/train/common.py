@@ -112,6 +112,64 @@ def prefetch_to_device(iterator, size: int = 2, sharding=None):
             put(batch)
 
 
+def drive_steps(
+    train_step,
+    state,
+    batches,
+    *,
+    sharding=None,
+    prefetch: int = 2,
+    max_in_flight: int = 2,
+    step_hook=None,
+):
+    """Drive a jitted train step over host-assembled batches with overlap.
+
+    Batches flow through ``prefetch_to_device`` (assembly + transfer of batch
+    N+1 overlaps the device step on batch N), steps are dispatched
+    asynchronously, and metric scalars are synced ``max_in_flight`` steps late
+    so at most that many steps (and their on-device batches) are in flight —
+    the host never serializes with the device, and HBM holds a bounded number
+    of staged batches.  This is the TPU analog of the reference DataLoader's
+    pin_memory + prefetch_factor (reference: item_qformer_training.py:86-102).
+
+    ``step_hook(step_index, state, metrics_floats)`` forces a per-step sync
+    (hooks observe real values); pass None for maximum overlap.
+
+    Returns ``(state, mean_metrics, last_metrics)``.
+    """
+    import collections
+
+    queue: collections.deque = collections.deque()
+    sums: Dict[str, float] = {}
+    count = 0
+    last: Dict[str, float] = {}
+
+    def drain_one():
+        nonlocal count, last
+        m = queue.popleft()
+        floats = {k: float(v) for k, v in m.items()}
+        for k, v in floats.items():
+            sums[k] = sums.get(k, 0.0) + v
+        count += 1
+        last = floats
+        return floats
+
+    step_index = 0
+    for batch in prefetch_to_device(batches, prefetch, sharding=sharding):
+        state, metrics = train_step(state, batch)
+        queue.append(metrics)
+        if step_hook is not None:
+            floats = drain_one()
+            state = step_hook(step_index, state, floats) or state
+        elif len(queue) > max_in_flight:
+            drain_one()
+        step_index += 1
+    while queue:
+        drain_one()
+    mean = {k: v / max(count, 1) for k, v in sums.items()}
+    return state, mean, last
+
+
 def mean_metrics(metric_list: Sequence[Dict[str, Any]]) -> Dict[str, float]:
     if not metric_list:
         return {}

@@ -39,7 +39,12 @@ from unirec_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
-from unirec_tpu.train.common import TrainState, epoch_batches, make_optimizer
+from unirec_tpu.train.common import (
+    TrainState,
+    drive_steps,
+    epoch_batches,
+    make_optimizer,
+)
 
 
 def build_triplet_pairs(
@@ -198,19 +203,22 @@ class ItemQFormerTrainer:
         batch_size: Optional[int] = None,
     ) -> Tuple[TrainState, Dict[str, float]]:
         batch_size = batch_size or self.train_config.batch_size
-        sums: Dict[str, float] = {}
-        count = 0
-        for idx in epoch_batches(rng, len(pairs), batch_size):
-            bp = pairs[idx]
-            neg = sample_negatives(rng, bp, len(cache))
-            batch = self._gather_batch(cache, bp, neg)
-            batch, _ = pad_batch(batch, self.dp_size)
-            batch = shard_batch(self.mesh, batch)
-            state, metrics = self._train_step(state, batch)
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
-        return state, {k: v / max(count, 1) for k, v in sums.items()}
+
+        def stream():
+            for idx in epoch_batches(rng, len(pairs), batch_size):
+                bp = pairs[idx]
+                neg = sample_negatives(rng, bp, len(cache))
+                batch, _ = pad_batch(
+                    self._gather_batch(cache, bp, neg), self.dp_size
+                )
+                yield batch
+
+        from unirec_tpu.parallel.mesh import batch_sharding
+
+        state, mean, _ = drive_steps(
+            self._train_step, state, stream(), sharding=batch_sharding(self.mesh)
+        )
+        return state, mean
 
     def evaluate(
         self,

@@ -38,12 +38,18 @@ from unirec_tpu.data.tokenizer import BaseTokenizer
 from unirec_tpu.models.joint import MultiModalQwenEmbedding, construct_input_text
 from unirec_tpu.ops.losses import info_nce_loss
 from unirec_tpu.parallel.mesh import (
+    batch_sharding,
     make_mesh,
     pad_batch,
     replicate,
     shard_batch,
 )
-from unirec_tpu.train.common import TrainState, epoch_batches, make_optimizer
+from unirec_tpu.train.common import (
+    TrainState,
+    drive_steps,
+    epoch_batches,
+    make_optimizer,
+)
 from unirec_tpu.utils.params import lora_trainable_mask
 
 
@@ -66,59 +72,97 @@ class JointDataset:
         item_emb_dim: int = 1024,
     ):
         self.data = list(data)
-        self.item_emb_dict = item_emb_dict
+        self._item_emb_dict = item_emb_dict
         self.tokenizer = tokenizer
         self.item_dict = item_dict
         self.cache = field_cache
         self.jc = joint_config
         self.max_negatives = max_negatives
-        self.item_emb_dim = item_emb_dim
+        self._item_emb_dim = item_emb_dim
+        self._build_index_tables()
 
     def __len__(self) -> int:
         return len(self.data)
 
-    def _candidate_embeddings(self, sample: Dict) -> Tuple[np.ndarray, np.ndarray]:
-        """(positive [D], negatives [C-1, D]); unknown ids -> zeros
-        (reference: train_item_individual_token_joint.py:609-618)."""
-        candidates = sample["candidate"]
-        gt = sample["ground_truth"]
-        default = np.zeros(self.item_emb_dim, np.float32)
-        embs = np.stack(
-            [
-                np.asarray(self.item_emb_dict.get(str(c), default), np.float32)
-                for c in candidates
-            ]
-        )
-        gt_idx = candidates.index(gt)
-        positive = embs[gt_idx]
-        negatives = np.delete(embs, gt_idx, axis=0)
-        return positive, negatives
+    # candidate-embedding inputs may be swapped after construction (e.g. a
+    # re-generated embedding dict); rebuild the gather tables lazily
+    @property
+    def item_emb_dict(self):
+        return self._item_emb_dict
 
-    def batch(self, indices: Sequence[int], max_negatives: Optional[int] = None
-              ) -> Dict[str, np.ndarray]:
+    @item_emb_dict.setter
+    def item_emb_dict(self, value):
+        self._item_emb_dict = value
+        self._tables_dirty = True
+
+    @property
+    def item_emb_dim(self) -> int:
+        return self._item_emb_dim
+
+    @item_emb_dim.setter
+    def item_emb_dim(self, value: int):
+        self._item_emb_dim = int(value)
+        self._tables_dirty = True
+
+    def _build_index_tables(self) -> None:
+        """Precompute per-sample gather indices so ``batch`` is pure numpy
+        fancy-indexing (the per-sample Python loop serialized with the device
+        step on this 1-core host; reference analog is the DataLoader collate,
+        train_item_individual_token_joint.py:290-323).
+
+        * ``_hist_rows``: [N, H] rows into the field cache (-1 = missing);
+        * ``_emb_matrix``: candidate item embeddings with row 0 = zeros, so
+          unknown ids degrade to zero embeddings
+          (reference: train_item_individual_token_joint.py:609-618);
+        * ``_pos_rows`` / ``_neg_rows`` / ``_neg_valid``: candidate pools,
+          negatives padded to the dataset-wide maximum;
+        * tokenization is memoized per sample on first use (prompts are
+          sample-static across epochs).
+        """
+        n = len(self.data)
         jc = self.jc
-        max_neg = max_negatives or self.max_negatives
-        n = len(indices)
-        num_fields = self.cache.num_fields
-        fd = self.cache.embedding_dim
+        h = jc.num_history_items
 
-        input_ids = np.zeros((n, jc.max_length), np.int32)
-        attn = np.zeros((n, jc.max_length), np.float32)
-        hist_emb = np.zeros(
-            (n, jc.num_history_items, num_fields, fd), np.float32
-        )
-        hist_mask = np.zeros((n, jc.num_history_items, num_fields), np.float32)
-        pos = np.zeros((n, self.item_emb_dim), np.float32)
-        negs = np.zeros((n, max_neg, self.item_emb_dim), np.float32)
-        neg_mask = np.zeros((n, max_neg), np.float32)
+        self._hist_rows = np.full((n, h), -1, np.int32)
+        for i, sample in enumerate(self.data):
+            hist = [str(x) for x in sample["history"]][:h]
+            if hist:
+                self._hist_rows[i, : len(hist)] = self.cache.rows_for(hist)
 
-        for bi, si in enumerate(indices):
+        ids = list(self.item_emb_dict)
+        self._emb_matrix = np.zeros((len(ids) + 1, self.item_emb_dim), np.float32)
+        emb_row = {}
+        for j, key in enumerate(ids):
+            self._emb_matrix[j + 1] = np.asarray(
+                self.item_emb_dict[key], np.float32
+            )
+            emb_row[str(key)] = j + 1
+
+        cmax = max((len(s["candidate"]) - 1 for s in self.data), default=0)
+        cmax = max(cmax, 1)
+        self._pos_rows = np.zeros(n, np.int32)
+        self._neg_rows = np.zeros((n, cmax), np.int32)
+        self._neg_valid = np.zeros((n, cmax), np.float32)
+        for i, sample in enumerate(self.data):
+            candidates = sample["candidate"]
+            gt_idx = candidates.index(sample["ground_truth"])
+            self._pos_rows[i] = emb_row.get(str(candidates[gt_idx]), 0)
+            neg_ids = [c for j, c in enumerate(candidates) if j != gt_idx]
+            for j, c in enumerate(neg_ids):
+                self._neg_rows[i, j] = emb_row.get(str(c), 0)
+            self._neg_valid[i, : len(neg_ids)] = 1.0
+
+        self._tok_ids = np.zeros((n, jc.max_length), np.int32)
+        self._tok_mask = np.zeros((n, jc.max_length), np.float32)
+        self._tok_done = np.zeros(n, bool)
+        self._tables_dirty = False
+
+    def _tokenize_rows(self, idx: np.ndarray) -> None:
+        todo = idx[~self._tok_done[idx]]
+        jc = self.jc
+        for si in todo:
             sample = self.data[si]
-            history = [str(h) for h in sample["history"]][: jc.num_history_items]
-            e, m = self.cache.gather(history)
-            hist_emb[bi, : len(history)] = e
-            hist_mask[bi, : len(history)] = m
-
+            history = [str(x) for x in sample["history"]][: jc.num_history_items]
             text = construct_input_text(
                 history,
                 self.item_dict,
@@ -126,20 +170,41 @@ class JointDataset:
                 jc.num_query_tokens_per_item,
             )
             ids, mask = self.tokenizer.encode(text, jc.max_length)
-            input_ids[bi], attn[bi] = ids, mask
+            self._tok_ids[si], self._tok_mask[si] = ids, mask
+            self._tok_done[si] = True
 
-            p, ns = self._candidate_embeddings(sample)
-            pos[bi] = p
-            k = min(len(ns), max_neg)
-            negs[bi, :k] = ns[:k]
-            neg_mask[bi, :k] = 1.0
+    def batch(self, indices: Sequence[int], max_negatives: Optional[int] = None
+              ) -> Dict[str, np.ndarray]:
+        if self._tables_dirty:
+            self._build_index_tables()
+        max_neg = max_negatives or self.max_negatives
+        idx = np.asarray(indices, np.int64)
+        n = len(idx)
+
+        self._tokenize_rows(idx)
+
+        rows = self._hist_rows[idx]  # [B, H]
+        valid = rows >= 0
+        clipped = np.clip(rows, 0, None)
+        hist_emb = np.where(
+            valid[..., None, None], self.cache.embeddings[clipped], 0.0
+        ).astype(np.float32)
+        hist_mask = np.where(
+            valid[..., None], self.cache.masks[clipped], 0.0
+        ).astype(np.float32)
+
+        k = min(max_neg, self._neg_rows.shape[1])
+        negs = np.zeros((n, max_neg, self.item_emb_dim), np.float32)
+        neg_mask = np.zeros((n, max_neg), np.float32)
+        negs[:, :k] = self._emb_matrix[self._neg_rows[idx, :k]]
+        neg_mask[:, :k] = self._neg_valid[idx, :k]
 
         return {
-            "input_ids": input_ids,
-            "attention_mask": attn,
+            "input_ids": self._tok_ids[idx],
+            "attention_mask": self._tok_mask[idx],
             "history_field_embeddings": hist_emb,
             "history_attention_mask": hist_mask,
-            "positive_item_embeddings": pos,
+            "positive_item_embeddings": self._emb_matrix[self._pos_rows[idx]],
             "negative_item_embeddings": negs,
             "negative_masks": neg_mask,
         }
@@ -287,6 +352,26 @@ class JointTrainer:
         )
         return shard_like(state, self._state_shardings)
 
+    def _batch_stream(
+        self,
+        dataset: JointDataset,
+        rng: np.random.Generator,
+        batch_size: int,
+        num_steps: Optional[int] = None,
+    ):
+        """Yield padded host batches; runs inside the device prefetcher so
+        assembly of batch N+1 overlaps the device step on batch N."""
+        produced = 0
+        while num_steps is None or produced < num_steps:
+            for idx in epoch_batches(rng, len(dataset), batch_size):
+                batch, _ = pad_batch(dataset.batch(idx), self.dp_size)
+                yield batch
+                produced += 1
+                if num_steps is not None and produced >= num_steps:
+                    return
+            if num_steps is None:
+                return
+
     def train_epoch(
         self,
         state: TrainState,
@@ -295,17 +380,13 @@ class JointTrainer:
         batch_size: Optional[int] = None,
     ) -> Tuple[TrainState, Dict[str, float]]:
         batch_size = batch_size or self.train_config.batch_size
-        sums: Dict[str, float] = {}
-        count = 0
-        for idx in epoch_batches(rng, len(dataset), batch_size):
-            batch = dataset.batch(idx)
-            batch, _ = pad_batch(batch, self.dp_size)
-            batch = shard_batch(self.mesh, batch)
-            state, metrics = self._train_step(state, batch)
-            for k, v in metrics.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            count += 1
-        return state, {k: v / max(count, 1) for k, v in sums.items()}
+        state, mean, _ = drive_steps(
+            self._train_step,
+            state,
+            self._batch_stream(dataset, rng, batch_size),
+            sharding=batch_sharding(self.mesh),
+        )
+        return state, mean
 
     def train_steps(
         self,
@@ -320,23 +401,16 @@ class JointTrainer:
         (reference evaluates every N global steps via a Trainer callback,
         train_item_individual_token_joint.py:439-474)."""
         batch_size = batch_size or self.train_config.batch_size
-        it = None
-        last: Dict[str, float] = {}
-        for step in range(num_steps):
-            if it is None:
-                it = epoch_batches(rng, len(dataset), batch_size)
-            try:
-                idx = next(it)
-            except StopIteration:
-                it = epoch_batches(rng, len(dataset), batch_size)
-                idx = next(it)
-            batch = dataset.batch(idx)
-            batch, _ = pad_batch(batch, self.dp_size)
-            batch = shard_batch(self.mesh, batch)
-            state, metrics = self._train_step(state, batch)
-            last = {k: float(v) for k, v in metrics.items()}
-            if step_hook is not None:
-                state = step_hook(int(state.step), state, last) or state
+        hook = None
+        if step_hook is not None:
+            hook = lambda i, st, m: step_hook(int(st.step), st, m)  # noqa: E731
+        state, _, last = drive_steps(
+            self._train_step,
+            state,
+            self._batch_stream(dataset, rng, batch_size, num_steps),
+            sharding=batch_sharding(self.mesh),
+            step_hook=hook,
+        )
         return state, last
 
     def evaluate(

@@ -40,7 +40,12 @@ from unirec_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
-from unirec_tpu.train.common import TrainState, epoch_batches, make_optimizer
+from unirec_tpu.train.common import (
+    TrainState,
+    drive_steps,
+    epoch_batches,
+    make_optimizer,
+)
 
 
 def build_sliding_window_samples(
@@ -204,19 +209,21 @@ class UserQFormerTrainer:
         batch_size: Optional[int] = None,
     ) -> Tuple[TrainState, Dict[str, float]]:
         batch_size = batch_size or self.train_config.batch_size
-        sums: Dict[str, float] = {}
-        count = 0
-        for idx in epoch_batches(rng, len(samples), batch_size):
-            batch = self.make_batch(
-                samples, idx, item_tokens, cache, timestamp_map
-            )
-            batch, _ = pad_batch(batch, self.dp_size)
-            batch = shard_batch(self.mesh, batch)
-            state, metrics = self._train_step(state, batch)
-            for kk, v in metrics.items():
-                sums[kk] = sums.get(kk, 0.0) + float(v)
-            count += 1
-        return state, {k: v / max(count, 1) for k, v in sums.items()}
+
+        def stream():
+            for idx in epoch_batches(rng, len(samples), batch_size):
+                batch = self.make_batch(
+                    samples, idx, item_tokens, cache, timestamp_map
+                )
+                batch, _ = pad_batch(batch, self.dp_size)
+                yield batch
+
+        from unirec_tpu.parallel.mesh import batch_sharding
+
+        state, mean, _ = drive_steps(
+            self._train_step, state, stream(), sharding=batch_sharding(self.mesh)
+        )
+        return state, mean
 
 
 def train_user_qformer(
@@ -234,7 +241,10 @@ def train_user_qformer(
     """Full driver (reference: train_user_qformer,
     user_qformer_training.py:166-229)."""
     user_config = user_config or UserQFormerConfig(
-        num_item_tokens_to_predict=item_qformer.config.num_query_tokens
+        num_item_tokens_to_predict=item_qformer.config.num_query_tokens,
+        # item tokens live in the item Q-Former's hidden space — derive the
+        # input width from the checkpoint instead of assuming production 1024
+        input_embedding_dim=item_qformer.config.hidden_size,
     )
     train_config = train_config or TrainConfig(
         batch_size=64, num_epochs=50,
