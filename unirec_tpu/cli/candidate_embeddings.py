@@ -69,6 +69,9 @@ def main(argv=None) -> int:
     p.add_argument("--hf-path", default=None,
                    help="local HF checkpoint (CLIP or Qwen3) for real weights")
     p.add_argument("--max-items", type=int, default=None)
+    p.add_argument("--embedding-dim", type=int, default=1024,
+                   help="output dim for the weightless hash backend "
+                        "(must match the joint model's hidden size)")
     args = p.parse_args(argv)
 
     with open(args.item_dict) as f:
@@ -90,7 +93,7 @@ def main(argv=None) -> int:
         if args.hf_path:
             backend = Qwen3TextBackend.from_local_hf(args.hf_path)
         else:
-            backend = HashTextBackend(1024)
+            backend = HashTextBackend(args.embedding_dim)
         texts = [extract_text(item_dict[i]) for i in item_ids]
         embs = backend.encode(texts)
         for i, iid in enumerate(item_ids):

@@ -63,12 +63,14 @@ def build_recommender(args):
     inf = QFormerInference(args.qformer_checkpoint)
 
     if args.tiny:
-        # 2-layer Qwen3 that keeps hidden=1024 so production catalogs fit
+        # 2-layer Qwen3; hidden must match the Q-Former checkpoint because
+        # query-token injection shares the LLM's embedding space
+        # (models/joint.py:81-87)
         from unirec_tpu.configs import tiny_qwen3_config
 
         qwen_cfg = tiny_qwen3_config(
             vocab_size=4096,
-            hidden_size=1024,
+            hidden_size=inf.config.hidden_size,
             intermediate_size=1024,
             num_hidden_layers=2,
             num_attention_heads=8,
@@ -78,6 +80,14 @@ def build_recommender(args):
         )
     else:
         qwen_cfg = Qwen3Config()
+    cat_dim = len(next(iter(catalog.values())))
+    if cat_dim != qwen_cfg.hidden_size:
+        raise ValueError(
+            f"catalog embedding dim {cat_dim} != LLM hidden size "
+            f"{qwen_cfg.hidden_size}; regenerate --catalog with the same "
+            "base model (for --tiny smoke runs: embed qwen3 "
+            f"--embedding-dim {qwen_cfg.hidden_size})"
+        )
     jc = JointModelConfig(max_length=args.max_length)
     tokenizer = make_tokenizer(
         args.hf_path, qwen_cfg.vocab_size,

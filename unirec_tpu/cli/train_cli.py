@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 
 def _common_train_flags(sp, batch_size: int, epochs: int, lr: float):
@@ -309,6 +310,18 @@ def _run_joint(args) -> int:
         jc.num_history_items, jc.num_query_tokens_per_item,
     )
     emb_dim = len(next(iter(item_emb_dict.values())))
+    if emb_dim != qwen_cfg.hidden_size:
+        # InfoNCE compares the pooled LLM user embedding against the frozen
+        # candidate embeddings — they must share the LLM's hidden space
+        # (reference: train_item_individual_token_joint.py:173-182).
+        print(
+            f"error: candidate embedding dim {emb_dim} != LLM hidden size "
+            f"{qwen_cfg.hidden_size}; regenerate --item-emb with the same "
+            "base model (for --tiny smoke runs: "
+            f"embed qwen3 --embedding-dim {qwen_cfg.hidden_size})",
+            file=sys.stderr,
+        )
+        return 2
     train_ds = JointDataset(train_data, item_emb_dict, tokenizer, item_dict,
                             cache, jc, item_emb_dim=emb_dim)
     val_ds = JointDataset(val_data, item_emb_dict, tokenizer, item_dict,

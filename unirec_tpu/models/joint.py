@@ -59,6 +59,7 @@ class MultiModalQwenEmbedding(nn.Module):
     lora: Optional[LoRAConfig] = None
     dtype: Dtype = jnp.float32
     remat: bool = False
+    remat_policy: Any = None
 
     @property
     def num_special_tokens(self) -> int:
@@ -95,6 +96,7 @@ class MultiModalQwenEmbedding(nn.Module):
             name="base_model",
             dtype=self.dtype,
             remat=self.remat,
+            remat_policy=self.remat_policy,
         )
         text_embeds = qwen(input_ids=input_ids, method_embed_only=True)
         b, l, d = text_embeds.shape

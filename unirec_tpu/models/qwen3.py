@@ -232,6 +232,9 @@ class Qwen3Model(nn.Module):
     n_extra_tokens: int = 0
     dtype: Dtype = jnp.float32
     remat: bool = False
+    # optional jax.checkpoint policy (e.g. dots_with_no_batch_dims_saveable:
+    # keep GEMM outputs, recompute only elementwise — much cheaper backward)
+    remat_policy: Any = None
 
     @nn.compact
     def __call__(
@@ -289,7 +292,9 @@ class Qwen3Model(nn.Module):
         hidden = inputs_embeds.astype(self.dtype)
         layer_cls = Qwen3Layer
         if self.remat:
-            layer_cls = nn.remat(Qwen3Layer, static_argnums=(5,))
+            layer_cls = nn.remat(
+                Qwen3Layer, static_argnums=(5,), policy=self.remat_policy
+            )
         for i in range(cfg.num_hidden_layers):
             hidden = layer_cls(
                 cfg, self.lora, name=f"layers_{i}", dtype=self.dtype

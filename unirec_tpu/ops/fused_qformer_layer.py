@@ -40,10 +40,10 @@ import jax.numpy as jnp
 NEG_INF = -1e9
 
 # rows per grid step; must be a multiple of K (items never straddle tiles).
-# 128 keeps the whole block (weights 8MB + activations) under the 16MB VMEM
-# budget at production width D=1024; the projection matmuls still fill the
-# MXU (M=128, K=1024, N=3072).
-_TILE_ROWS = 128
+# 256 rows with input-dtype (bf16) qkv/ctx buffers fits the whole block
+# (weights 8MB + activations) under the 16MB VMEM budget at production
+# width D=1024.
+_TILE_ROWS = 256
 
 
 def _layer_norm_rows(x32, gamma, beta, eps):
@@ -63,7 +63,7 @@ def _self_block_kernel(
     gamma_ref,   # [1, D]
     beta_ref,    # [1, D]
     o_ref,       # [T, D]
-    ctx_ref,     # [T, D] fp32 VMEM scratch (per-head context assembly)
+    ctx_ref,     # [T, D] VMEM scratch, input dtype (per-head ctx assembly)
     *,
     num_heads: int,
     n_q: int,
@@ -79,7 +79,7 @@ def _self_block_kernel(
             preferred_element_type=jnp.float32,
         )
         + bqkv_ref[...].astype(jnp.float32)
-    )  # [T, 3D] fp32
+    ).astype(x.dtype)  # [T, 3D]; bf16 mode halves VMEM so tile=256 fits
 
     # static block-diagonal mask: rows are item-major, item = row // K
     qi = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0) // n_q
@@ -102,10 +102,10 @@ def _self_block_kernel(
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         c = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [T, hd]
-        ctx_ref[:, h * hd : (h + 1) * hd] = c
+        ctx_ref[:, h * hd : (h + 1) * hd] = c.astype(ctx_ref.dtype)
 
     out = (
         jax.lax.dot_general(
@@ -136,7 +136,7 @@ def _cross_block_kernel(
     beta_ref,    # [1, D]
     kbias_ref,   # [1, T_m] additive key-validity bias
     o_ref,       # [T, D]
-    ctx_ref,     # [T, D] fp32 VMEM scratch
+    ctx_ref,     # [T, D] VMEM scratch, input dtype
     *,
     num_heads: int,
     n_q: int,
@@ -155,14 +155,14 @@ def _cross_block_kernel(
             preferred_element_type=jnp.float32,
         )
         + bq_ref[...].astype(jnp.float32)
-    )
+    ).astype(x.dtype)
     kv = (
         jax.lax.dot_general(
             mem, wkv_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         + bkv_ref[...].astype(jnp.float32)
-    )  # [T_m, 2D]
+    ).astype(x.dtype)  # [T_m, 2D]
 
     qi = jax.lax.broadcasted_iota(jnp.int32, (t, t_m), 0) // n_q
     ki = jax.lax.broadcasted_iota(jnp.int32, (t, t_m), 1) // n_kv
@@ -185,10 +185,10 @@ def _cross_block_kernel(
         e = jnp.exp(s - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         c = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        ctx_ref[:, h * hd : (h + 1) * hd] = c
+        ctx_ref[:, h * hd : (h + 1) * hd] = c.astype(ctx_ref.dtype)
 
     out = (
         jax.lax.dot_general(
@@ -270,7 +270,7 @@ def fused_self_attention_block(
             (tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-        scratch_shapes=[pltpu.VMEM((tile, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile, d), x.dtype)],
         interpret=interpret,
     )(xf, wqkv, _row2d(bqkv), wo, _row2d(bo), _row2d(ln_gamma),
       _row2d(ln_beta))
@@ -356,7 +356,7 @@ def fused_cross_attention_block(
             (tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-        scratch_shapes=[pltpu.VMEM((tile, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile, d), x.dtype)],
         interpret=interpret,
     )(xf, memf, wq, _row2d(bq), wkv, _row2d(bkv), wo, _row2d(bo),
       _row2d(ln_gamma), _row2d(ln_beta), kbias)

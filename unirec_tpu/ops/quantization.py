@@ -75,16 +75,18 @@ def _q_retrieval_kernel(
     u_ref,  # [BU, D] fp32
     c_ref,  # [BN, D] int8
     s_ref,  # [BN, 128] fp32 scales (broadcast into lanes)
-    s_out,  # [BU, K_PAD]
-    i_out,  # [BU, K_PAD]
+    s_out,  # [BU, K_LANES]
+    i_out,  # [BU, K_LANES]
     s_scratch,
     i_scratch,
     *,
-    k_pad: int,
+    k: int,
     block_n: int,
     num_n_blocks: int,
 ):
     import jax.experimental.pallas as pl
+
+    from unirec_tpu.ops.ranking import merge_running_topk
 
     n_idx = pl.program_id(1)
 
@@ -101,14 +103,7 @@ def _q_retrieval_kernel(
     scores = scores * s_ref[:, 0][None, :]
     base = n_idx * block_n
     col_ids = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    blk_s, blk_pos = jax.lax.top_k(scores, k_pad)
-    blk_i = jnp.take_along_axis(col_ids, blk_pos, axis=-1)
-
-    merged = jnp.concatenate([s_scratch[...], blk_s], axis=-1)
-    merged_i = jnp.concatenate([i_scratch[...], blk_i], axis=-1)
-    top_s, pos = jax.lax.top_k(merged, k_pad)
-    s_scratch[...] = top_s
-    i_scratch[...] = jnp.take_along_axis(merged_i, pos, axis=-1)
+    merge_running_topk(s_scratch, i_scratch, scores, col_ids, k)
 
     @pl.when(n_idx == num_n_blocks - 1)
     def _done():
@@ -123,20 +118,21 @@ def retrieve_top_k_int8(
     k: int = 10,
     *,
     block_u: int = 256,
-    block_n: int = 2048,
+    block_n: int = 2048,  # int8 catalog block: 2MB, double-buffers fine
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Pallas blocked int8 retrieval; falls back to the XLA path off-TPU."""
+    """Pallas blocked int8 retrieval; falls back to the XLA path off-TPU
+    and for k > 32 (in-kernel top-k is k unrolled max-selection rounds)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if jax.default_backend() != "tpu" and not interpret:
+    if (jax.default_backend() != "tpu" and not interpret) or k > 32:
         return quantized_top_k(user_emb, catalog_q, catalog_scales, k)
 
     u = l2_normalize(user_emb).astype(jnp.float32)
     b, d = u.shape
     n = catalog_q.shape[0]
-    k_pad = max(128, ((k + 127) // 128) * 128)
+    k_pad = 128  # output lane width; first k lanes are live
 
     bu = min(block_u, max(8, ((b + 7) // 8) * 8))
     pad_b = (-b) % bu
@@ -157,7 +153,7 @@ def retrieve_top_k_int8(
     grid = (bp // bu, num_n_blocks)
 
     kernel = functools.partial(
-        _q_retrieval_kernel, k_pad=k_pad, block_n=bn, num_n_blocks=num_n_blocks
+        _q_retrieval_kernel, k=k, block_n=bn, num_n_blocks=num_n_blocks
     )
     s_out, i_out = pl.pallas_call(
         kernel,

@@ -89,27 +89,46 @@ def top_k_items(
 # ---------------------------------------------------------------------------
 
 
-def _topk_merge(scores_a, idx_a, scores_b, idx_b, k: int):
-    """Merge two [R, k] top-k sets into one (descending)."""
-    s = jnp.concatenate([scores_a, scores_b], axis=-1)
-    i = jnp.concatenate([idx_a, idx_b], axis=-1)
-    top_s, pos = jax.lax.top_k(s, k)
-    top_i = jnp.take_along_axis(i, pos, axis=-1)
-    return top_s, top_i
+def merge_running_topk(s_scratch, i_scratch, scores, col_ids, k: int):
+    """Merge a block's scores into the running top-k scratch refs.
+
+    ``jax.lax.top_k`` has no Mosaic lowering (discovered benching round 1's
+    kernel on hardware — it only ever ran in interpret mode), so the top-k is
+    k unrolled rounds of {row max -> min matching position -> mask out},
+    with the selected id recovered by a one-hot sum.  For serving-size k
+    (<=32) the VPU cost is small next to the score matmul.
+    """
+    work = jnp.concatenate([s_scratch[...], scores], axis=-1)
+    ids = jnp.concatenate([i_scratch[...], col_ids], axis=-1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, work.shape, 1)
+    big = jnp.int32(2**30)
+    for j in range(k):
+        m = jnp.max(work, axis=-1, keepdims=True)  # [BU, 1]
+        hit = work == m
+        p_sel = jnp.min(jnp.where(hit, pos, big), axis=-1, keepdims=True)
+        one_hot = pos == p_sel
+        sel_id = jnp.sum(
+            jnp.where(one_hot, ids, 0), axis=-1, keepdims=True
+        )
+        s_scratch[:, j : j + 1] = m
+        i_scratch[:, j : j + 1] = sel_id
+        work = jnp.where(one_hot, -jnp.inf, work)
 
 
 def _retrieval_kernel(
     u_ref,  # [BU, D]
     c_ref,  # [BN, D]
-    s_out,  # [BU, K_PAD]
-    i_out,  # [BU, K_PAD]
-    s_scratch,
-    i_scratch,
+    s_out,  # [BU, K_LANES]
+    i_out,  # [BU, K_LANES]
+    s_scratch,  # [BU, K_LANES] running top-k scores (first k lanes live)
+    i_scratch,  # [BU, K_LANES] running top-k catalog ids
     *,
-    k_pad: int,
+    k: int,
+    k_lanes: int,
     block_n: int,
     num_n_blocks: int,
 ):
+    """Blocked scores + running top-k via iterative max-selection."""
     import jax.experimental.pallas as pl
 
     n_idx = pl.program_id(1)
@@ -126,15 +145,7 @@ def _retrieval_kernel(
     )  # [BU, BN]
     base = n_idx * block_n
     col_ids = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-
-    blk_s, blk_pos = jax.lax.top_k(scores, k_pad)
-    blk_i = jnp.take_along_axis(col_ids, blk_pos, axis=-1)
-
-    merged_s, merged_i = _topk_merge(
-        s_scratch[...], i_scratch[...], blk_s, blk_i, k_pad
-    )
-    s_scratch[...] = merged_s
-    i_scratch[...] = merged_i
+    merge_running_topk(s_scratch, i_scratch, scores, col_ids, k)
 
     @pl.when(n_idx == num_n_blocks - 1)
     def _done():
@@ -149,18 +160,20 @@ def retrieve_top_k(
     *,
     normalize: bool = True,
     block_u: int = 256,
-    block_n: int = 2048,
+    block_n: int = 1024,  # [block_n, D] fp32 double-buffers in VMEM: keep <=4MB
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Pallas fused retrieval: scores computed blockwise over the catalog with
     a running top-K in VMEM; HBM traffic is O(B*D + N*D + B*K), never O(B*N).
 
-    Falls back to ``top_k_items`` off-TPU unless ``interpret=True``.
+    Falls back to ``top_k_items`` off-TPU (unless ``interpret=True``) and for
+    k > 32 (the in-kernel selection is k unrolled max rounds — cheap for
+    serving-size k, wrong tool beyond that).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    if jax.default_backend() != "tpu" and not interpret:
+    if (jax.default_backend() != "tpu" and not interpret) or k > 32:
         return top_k_items(user_emb, catalog_emb, k, normalize)
 
     u = l2_normalize(user_emb) if normalize else user_emb
@@ -170,7 +183,7 @@ def retrieve_top_k(
 
     b, d = u.shape
     n = c.shape[0]
-    k_pad = max(128, ((k + 127) // 128) * 128)
+    k_pad = 128  # output lane width; first k lanes are live
 
     # Pad batch and catalog to block multiples; padded catalog rows are zero
     # vectors -> cosine score 0; mask them to -inf via index >= n later.
@@ -188,7 +201,8 @@ def retrieve_top_k(
     grid = (bp // bu, num_n_blocks)
     kernel = functools.partial(
         _retrieval_kernel,
-        k_pad=k_pad,
+        k=k,
+        k_lanes=k_pad,
         block_n=bn,
         num_n_blocks=num_n_blocks,
     )
