@@ -215,6 +215,16 @@ def make_joint_train_step(model: MultiModalQwenEmbedding, temperature: float = 0
         rng = jax.random.fold_in(jax.random.PRNGKey(1), state.step)
 
         def loss_fn(params):
+            # stop_gradient on the frozen base subtree: XLA prunes the dW
+            # matmuls for all 0.6B frozen params from the backward (the
+            # optimizer-side multi_transform freeze alone still pays to
+            # COMPUTE those grads before zeroing them; PEFT's
+            # requires_grad=False equivalent is pruning them here).
+            mask = lora_trainable_mask(params)
+            params = jax.tree_util.tree_map(
+                lambda p, t: p if t else jax.lax.stop_gradient(p),
+                params, mask,
+            )
             user_emb = model.apply(
                 {"params": params},
                 batch["input_ids"],
