@@ -261,6 +261,10 @@ class Qwen3Config:
     max_position_embeddings: int = 32768
     tie_word_embeddings: bool = True
     attention_bias: bool = False
+    # Pallas flash attention for the decoder self-attention. None = auto
+    # (on for TPU when seq % 128 == 0 and head_dim % 128 == 0); False forces
+    # the XLA additive-mask path (exact parity reference).
+    flash_attention: Optional[bool] = None
 
     @property
     def q_size(self) -> int:

@@ -116,10 +116,11 @@ class Qwen3Attention(nn.Module):
     def __call__(
         self,
         hidden: jax.Array,  # [B, L, D]
-        bias: Optional[jax.Array],  # additive [B, 1, L, L]
+        bias: Optional[jax.Array],  # additive [B, 1, L, L] (XLA path)
         cos: jax.Array,
         sin: jax.Array,
         deterministic: bool = True,
+        pad_mask: Optional[jax.Array] = None,  # [B, L] -> flash path
     ) -> jax.Array:
         cfg = self.config
         lora_on = lambda name: self.lora is not None and name in (
@@ -158,16 +159,38 @@ class Qwen3Attention(nn.Module):
         k = k.transpose(0, 2, 1, 3)
         v = v.transpose(0, 2, 1, 3)
 
-        scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        if bias is not None:
-            scores = scores + bias.astype(jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        ctx = jnp.einsum(
-            "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
+        if pad_mask is not None:
+            # Pallas flash attention: causal handled in-kernel, padded keys
+            # excluded via segment ids (queries stay unmasked — identical to
+            # the additive-mask semantics where only keys are masked).  The
+            # [B, H, L, L] score matrix never touches HBM: measured 77 ms ->
+            # ~5 ms of a 139 ms fwd at B=16, L=512 (BASELINE.md round 2).
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds,
+                flash_attention,
+            )
+
+            segs = SegmentIds(
+                q=jnp.ones((b, l), jnp.int32),
+                kv=pad_mask.astype(jnp.int32),
+            )
+            ctx = flash_attention(
+                q, k, v,
+                causal=True,
+                sm_scale=float(1.0 / hd**0.5),
+                segment_ids=segs,
+            ).astype(self.dtype)
+        else:
+            scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            if bias is not None:
+                scores = scores + bias.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            ctx = jnp.einsum(
+                "bhqk,bhkd->bhqd", probs, v, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, hq * hd)
 
         return LoRADense(cfg.hidden_size, lora=self.lora,
@@ -204,13 +227,14 @@ class Qwen3Layer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, bias, cos, sin, deterministic=True):
+    def __call__(self, hidden, bias, cos, sin, deterministic=True,
+                 pad_mask=None):
         cfg = self.config
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
                     name="input_layernorm", dtype=self.dtype)(hidden)
         hidden = hidden + Qwen3Attention(
             cfg, self.lora, name="self_attn", dtype=self.dtype
-        )(h, bias, cos, sin, deterministic)
+        )(h, bias, cos, sin, deterministic, pad_mask)
         h = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
                     name="post_attention_layernorm", dtype=self.dtype)(hidden)
         hidden = hidden + Qwen3MLP(cfg, self.lora, name="mlp", dtype=self.dtype)(
@@ -280,14 +304,34 @@ class Qwen3Model(nn.Module):
             position_ids, cfg.head_dim, cfg.rope_theta, dtype=self.dtype
         )
 
-        # causal + padding additive bias
-        causal = jnp.tril(jnp.ones((l, l), jnp.float32))[None, None]
-        if attention_mask is not None:
-            pad = attention_mask.astype(jnp.float32)[:, None, None, :]
-            allowed = causal * pad
+        b = inputs_embeds.shape[0]
+        use_flash = cfg.flash_attention
+        if use_flash is None:
+            # auto: inference only — measured (BASELINE.md round 2) the flash
+            # VJP's in-kernel recompute loses to XLA + dots remat in training
+            # (680 vs 586 ms/step), while the inference fwd gains ~12%.
+            use_flash = (
+                deterministic
+                and jax.default_backend() == "tpu"
+                and l % 128 == 0
+                and cfg.head_dim % 128 == 0
+            )
+        if use_flash:
+            bias = None
+            pad_mask = (
+                attention_mask if attention_mask is not None
+                else jnp.ones((b, l), jnp.float32)
+            )
         else:
-            allowed = causal
-        bias = (1.0 - allowed) * -1e9
+            # causal + padding additive bias (exact-parity XLA path)
+            causal = jnp.tril(jnp.ones((l, l), jnp.float32))[None, None]
+            if attention_mask is not None:
+                pad = attention_mask.astype(jnp.float32)[:, None, None, :]
+                allowed = causal * pad
+            else:
+                allowed = causal
+            bias = (1.0 - allowed) * -1e9
+            pad_mask = None
 
         hidden = inputs_embeds.astype(self.dtype)
         layer_cls = Qwen3Layer
@@ -298,7 +342,7 @@ class Qwen3Model(nn.Module):
         for i in range(cfg.num_hidden_layers):
             hidden = layer_cls(
                 cfg, self.lora, name=f"layers_{i}", dtype=self.dtype
-            )(hidden, bias, cos, sin, deterministic)
+            )(hidden, bias, cos, sin, deterministic, pad_mask)
 
         return RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, name="norm",
                        dtype=self.dtype)(hidden)
