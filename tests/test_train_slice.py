@@ -244,3 +244,26 @@ def test_dp_sharded_inference_matches_single_device(cache, eight_devices):
             config=TINY_CFG, params=params, field_names=cache.fields,
             batch_size=12, mesh=mesh,
         )
+
+
+def test_fused_reference_forwards_matches_xla_path(cache):
+    """Training with fused bf16 pos/neg reference forwards must track the
+    XLA-path losses closely (they only feed the no-grad triplet targets)."""
+    tc = TrainConfig(
+        batch_size=16,
+        optimizer=OptimizerConfig(learning_rate=1e-3),
+        mesh=MeshConfig(dp=1, tp=1),
+    )
+    pairs = np.asarray([[i, (i + 1) % NUM_ITEMS] for i in range(32)], np.int32)
+
+    t_xla = ItemQFormerTrainer(TINY_CFG, tc, fused_reference_forwards=False)
+    t_fused = ItemQFormerTrainer(TINY_CFG, tc, fused_reference_forwards=True)
+    s_xla, s_fused = t_xla.init_state(), t_fused.init_state()
+    rng_a, rng_b = np.random.default_rng(0), np.random.default_rng(0)
+    s_xla, m_xla = t_xla.train_epoch(s_xla, cache, pairs, rng_a)
+    s_fused, m_fused = t_fused.train_epoch(s_fused, cache, pairs, rng_b)
+    assert np.isfinite(m_fused["loss"])
+    # same seed, same batches; fused targets are bf16 so allow loose agreement
+    assert abs(m_fused["loss"] - m_xla["loss"]) < 0.05 * max(m_xla["loss"], 1.0)
+    # recon term has no fused involvement: should agree tightly
+    assert abs(m_fused["recon"] - m_xla["recon"]) < 1e-2

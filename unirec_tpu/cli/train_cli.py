@@ -59,6 +59,9 @@ def main(argv=None) -> int:
     sp.add_argument("--contrastive-weight", type=float, default=0.25)
     sp.add_argument("--max-samples", type=int, default=None)
     sp.add_argument("--eval-every", type=int, default=50)
+    sp.add_argument("--bf16", action="store_true",
+                    help="bf16 activations (fp32 params); default fp32 for "
+                         "strict reference parity")
     _common_train_flags(sp, 4096, 500, 1e-4)
 
     sp = sub.add_parser("user-qformer")
@@ -207,6 +210,7 @@ def _dispatch(args) -> int:
             cache, sequences, mc, tc, val_rows=val_rows,
             checkpoint_dir=args.checkpoint_dir,
             contrastive_weight=args.contrastive_weight,
+            dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
         )
         print(json.dumps(metrics, indent=2))
         return 0

@@ -79,7 +79,35 @@ def make_train_step(
     reconstruction_weight: float = 1.0,
     contrastive_weight: float = 0.25,
     margin: float = 0.5,
+    fused_reference_config=None,
 ):
+    """One jitted step. ``fused_reference_config``: when set (an
+    ItemQFormerConfig), the no-gradient positive/negative forwards run
+    through the fused Pallas inference engine in bf16 — they only feed the
+    triplet targets, so inference-precision is appropriate and 2 of the
+    step's 3 forwards move to the fast path (TPU only)."""
+
+    def fused_ref_representation(params, emb, mask):
+        from unirec_tpu.inference.fused_qformer import (
+            fused_qformer_forward,
+            prepare_fused_params,
+        )
+
+        frozen = jax.lax.stop_gradient(params)
+        fp = prepare_fused_params(
+            {"params": frozen}, fused_reference_config, dtype=jnp.bfloat16
+        )
+        q = fused_qformer_forward(
+            fp, fused_reference_config, emb, mask,
+            interpret=jax.default_backend() != "tpu",
+        )
+        head = frozen["item_representation_head"]
+        rep = (
+            q.mean(axis=1) @ head["kernel"].astype(q.dtype)
+            + head["bias"].astype(q.dtype)
+        )
+        return rep.astype(jnp.float32)
+
     def step(state: TrainState, batch):
         rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
 
@@ -93,16 +121,22 @@ def make_train_step(
             )
             # positive/negative: inference mode, no gradient
             # (reference: training/item_qformer_training.py:123-125)
-            pos = model.apply(
-                {"params": jax.lax.stop_gradient(params)},
-                batch["pos_emb"],
-                batch["pos_mask"],
-            )
-            neg = model.apply(
-                {"params": jax.lax.stop_gradient(params)},
-                batch["neg_emb"],
-                batch["neg_mask"],
-            )
+            if fused_reference_config is not None:
+                pos = {"item_representation": fused_ref_representation(
+                    params, batch["pos_emb"], batch["pos_mask"])}
+                neg = {"item_representation": fused_ref_representation(
+                    params, batch["neg_emb"], batch["neg_mask"])}
+            else:
+                pos = model.apply(
+                    {"params": jax.lax.stop_gradient(params)},
+                    batch["pos_emb"],
+                    batch["pos_mask"],
+                )
+                neg = model.apply(
+                    {"params": jax.lax.stop_gradient(params)},
+                    batch["neg_emb"],
+                    batch["neg_mask"],
+                )
             total, recon, cont = item_qformer_loss(
                 anc,
                 batch["anchor_emb"],
@@ -156,12 +190,27 @@ class ItemQFormerTrainer:
     train_config: TrainConfig
     reconstruction_weight: float = 1.0
     contrastive_weight: float = 0.25
+    # "float32" (strict reference parity) or "bfloat16" (mixed precision:
+    # bf16 activations, fp32 params/optimizer — the MXU-native mode)
+    dtype: str = "float32"
+    # None = auto (fused bf16 pos/neg forwards on TPU when the config tiles)
+    fused_reference_forwards: Optional[bool] = None
 
     def __post_init__(self):
-        self.model = ItemQFormer(self.model_config)
+        compute_dtype = (
+            jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        )
+        self.model = ItemQFormer(self.model_config, dtype=compute_dtype)
         self.mesh = make_mesh(self.train_config.mesh)
+        from unirec_tpu.inference.fused_qformer import supports_fused
+
+        use_fused = self.fused_reference_forwards
+        if use_fused is None:
+            use_fused = jax.default_backend() == "tpu"
+        use_fused = use_fused and supports_fused(self.model_config)
         step = make_train_step(
-            self.model, self.reconstruction_weight, self.contrastive_weight
+            self.model, self.reconstruction_weight, self.contrastive_weight,
+            fused_reference_config=self.model_config if use_fused else None,
         )
         self._train_step = data_parallel_jit(step, self.mesh)
         self._eval_step = make_eval_step(self.model)
@@ -254,6 +303,7 @@ def train_item_qformer(
     val_rows: Optional[np.ndarray] = None,
     checkpoint_dir: Optional[str] = None,
     contrastive_weight: float = 0.25,
+    dtype: str = "float32",
     log_fn=print,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Full training driver (reference: train_qformer,
@@ -263,7 +313,8 @@ def train_item_qformer(
     )
     train_config = train_config or TrainConfig()
     trainer = ItemQFormerTrainer(
-        model_config, train_config, contrastive_weight=contrastive_weight
+        model_config, train_config, contrastive_weight=contrastive_weight,
+        dtype=dtype,
     )
     state = trainer.init_state()
     pairs = build_triplet_pairs(item_sequences, cache.id_to_row)
