@@ -128,3 +128,31 @@ def test_qformer_inference_fused_dispatch(setup, eight_devices):
     meshed = QFormerInference(**common, use_fused=True, mesh=mesh)
     out_m = meshed.query_tokens_from_embeddings(fields, mask)
     np.testing.assert_allclose(out_m, out_f, atol=1e-2, rtol=1e-2)
+
+
+def test_fused_with_field_type_embeddings():
+    """use_field_type_embeddings checkpoints must not silently diverge in the
+    fused engine (code-review r2 finding)."""
+    cfg = ItemQFormerConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, num_query_tokens=8, field_embedding_dim=D,
+        num_fields=F, dropout=0.0, use_field_type_embeddings=True,
+    )
+    model = ItemQFormer(cfg)
+    rng = np.random.RandomState(1)
+    fields = rng.randn(4, F, D).astype(np.float32)
+    mask = np.ones((4, F), np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(fields[:2]), jnp.asarray(mask[:2])
+    )
+    ref = model.apply(params, jnp.asarray(fields), jnp.asarray(mask))[
+        "query_outputs"
+    ]
+    fused = prepare_fused_params(params, cfg, dtype=jnp.float32)
+    assert fused.field_id_embeddings is not None
+    out = fused_qformer_forward(
+        fused, cfg, jnp.asarray(fields), jnp.asarray(mask), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )

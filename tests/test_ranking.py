@@ -115,3 +115,28 @@ def test_info_nce_matches_manual():
         lse = m + np.log(np.exp(allv - m).sum())
         losses.append(-pos + lse)
     np.testing.assert_allclose(loss, np.mean(losses), rtol=1e-5)
+
+
+def test_retrieve_top_k_negative_scores_with_padded_catalog():
+    """Padded catalog rows (cosine 0) must not evict real items whose
+    similarity is negative (code-review r2 finding)."""
+    import jax
+
+    from unirec_tpu.ops.ranking import retrieve_top_k, top_k_items
+
+    rng = np.random.RandomState(0)
+    n = 1030  # not a multiple of any block size -> padding in the last block
+    base = rng.randn(1024).astype(np.float32)
+    # catalog anti-aligned with the user -> ALL similarities negative
+    catalog = -np.abs(rng.rand(n, 1)).astype(np.float32) * base[None, :]
+    catalog += rng.randn(n, 1024).astype(np.float32) * 1e-3
+    users = np.tile(base, (4, 1)).astype(np.float32)
+
+    s_ref, i_ref = top_k_items(jnp.asarray(users), jnp.asarray(catalog), k=10)
+    s_p, i_p = retrieve_top_k(
+        jnp.asarray(users), jnp.asarray(catalog), k=10,
+        block_n=256, interpret=True,
+    )
+    assert np.isfinite(np.asarray(s_p)).all()
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_ref), atol=1e-5)

@@ -90,7 +90,6 @@ def is_oom_error(e: BaseException) -> bool:
             "ran out of memory",
             "memory space hbm",
             "memory space vmem",
-            "oom",
         )
     )
 

@@ -76,11 +76,16 @@ class FusedQFormerParams:
     emb_ln_g: Any
     emb_ln_b: Any
     layers: List[FusedLayerParams]
+    # [F, field_dim] when ItemQFormerConfig.use_field_type_embeddings
+    field_id_embeddings: Any = None
 
 
 jax.tree_util.register_dataclass(
     FusedQFormerParams,
-    data_fields=["query_embeddings", "emb_ln_g", "emb_ln_b", "layers"],
+    data_fields=[
+        "query_embeddings", "emb_ln_g", "emb_ln_b", "layers",
+        "field_id_embeddings",
+    ],
     meta_fields=[],
 )
 
@@ -143,6 +148,10 @@ def prepare_fused_params(
         emb_ln_g=arr(qf["embeddings"]["LayerNorm"]["scale"]),
         emb_ln_b=arr(qf["embeddings"]["LayerNorm"]["bias"]),
         layers=layers,
+        field_id_embeddings=(
+            arr(tree["field_id_embeddings"])
+            if "field_id_embeddings" in tree else None
+        ),
     )
 
 
@@ -205,6 +214,10 @@ def fused_qformer_forward(
 
     dtype = fused.query_embeddings.dtype
     mem = field_embeddings.astype(dtype)
+    if fused.field_id_embeddings is not None:
+        # field-id conditioning added before the encoder
+        # (models/item_qformer.py:63-72)
+        mem = mem + fused.field_id_embeddings[None, :, :]
 
     # embeddings: LayerNorm over the broadcast query tokens
     h = jnp.broadcast_to(

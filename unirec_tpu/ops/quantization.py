@@ -83,6 +83,7 @@ def _q_retrieval_kernel(
     k: int,
     block_n: int,
     num_n_blocks: int,
+    n_valid: int,
 ):
     import jax.experimental.pallas as pl
 
@@ -103,6 +104,8 @@ def _q_retrieval_kernel(
     scores = scores * s_ref[:, 0][None, :]
     base = n_idx * block_n
     col_ids = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    # mask padded catalog rows in-kernel (score 0 could evict real items)
+    scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
     merge_running_topk(s_scratch, i_scratch, scores, col_ids, k)
 
     @pl.when(n_idx == num_n_blocks - 1)
@@ -153,7 +156,8 @@ def retrieve_top_k_int8(
     grid = (bp // bu, num_n_blocks)
 
     kernel = functools.partial(
-        _q_retrieval_kernel, k=k, block_n=bn, num_n_blocks=num_n_blocks
+        _q_retrieval_kernel, k=k, block_n=bn, num_n_blocks=num_n_blocks,
+        n_valid=n,
     )
     s_out, i_out = pl.pallas_call(
         kernel,

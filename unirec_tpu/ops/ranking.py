@@ -127,6 +127,7 @@ def _retrieval_kernel(
     k_lanes: int,
     block_n: int,
     num_n_blocks: int,
+    n_valid: int,
 ):
     """Blocked scores + running top-k via iterative max-selection."""
     import jax.experimental.pallas as pl
@@ -145,6 +146,9 @@ def _retrieval_kernel(
     )  # [BU, BN]
     base = n_idx * block_n
     col_ids = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    # padded catalog rows score exactly 0 and would evict real negative-score
+    # items from the running top-k: mask them in-kernel
+    scores = jnp.where(col_ids < n_valid, scores, -jnp.inf)
     merge_running_topk(s_scratch, i_scratch, scores, col_ids, k)
 
     @pl.when(n_idx == num_n_blocks - 1)
@@ -205,6 +209,7 @@ def retrieve_top_k(
         k_lanes=k_pad,
         block_n=bn,
         num_n_blocks=num_n_blocks,
+        n_valid=n,
     )
     s_out, i_out = pl.pallas_call(
         kernel,

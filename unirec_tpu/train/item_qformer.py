@@ -193,7 +193,10 @@ class ItemQFormerTrainer:
     # "float32" (strict reference parity) or "bfloat16" (mixed precision:
     # bf16 activations, fp32 params/optimizer — the MXU-native mode)
     dtype: str = "float32"
-    # None = auto (fused bf16 pos/neg forwards on TPU when the config tiles)
+    # None = auto: fused bf16 pos/neg forwards on TPU, single-device mesh,
+    # bf16 activations only (fp32 mode keeps strict reference numerics
+    # end-to-end; pass True to opt in explicitly). pallas_call does not
+    # partition under GSPMD, so dp>1 meshes stay on the XLA path.
     fused_reference_forwards: Optional[bool] = None
 
     def __post_init__(self):
@@ -206,8 +209,15 @@ class ItemQFormerTrainer:
 
         use_fused = self.fused_reference_forwards
         if use_fused is None:
-            use_fused = jax.default_backend() == "tpu"
-        use_fused = use_fused and supports_fused(self.model_config)
+            use_fused = (
+                jax.default_backend() == "tpu" and self.dtype == "bfloat16"
+            )
+        # pallas_call does not partition under GSPMD: single-device mesh only
+        use_fused = (
+            use_fused
+            and supports_fused(self.model_config)
+            and self.mesh.devices.size == 1
+        )
         step = make_train_step(
             self.model, self.reconstruction_weight, self.contrastive_weight,
             fused_reference_config=self.model_config if use_fused else None,
