@@ -307,3 +307,24 @@ def test_full_pipeline_raw_jsonl_to_recommendation(pipeline_dir):
     assert all(isinstance(r.score, float) for r in recs)
     # history exclusion: recommended items are outside the user's history
     assert not {r.item_id for r in recs} & {"A0", "A7", "A14"}
+
+
+def test_tokens_cli_dp_sharded_sweep(pipeline_dir):
+    """--dp shards the token-generation sweep over the device mesh; output
+    must match the single-device sweep (the v5e-8 headline path through the
+    real CLI entry point)."""
+    d = pipeline_dir
+    if not os.path.exists(d / "tokens.pkl"):
+        test_train_and_tokens_cli(pipeline_dir)
+    out = str(d / "tokens_dp8.pkl")
+    assert tokens_main(["--checkpoint", str(d / "iq_ckpt"),
+                        "--cache-dir", str(d / "cache"),
+                        "--output", out, "--batch-size", "16",
+                        "--dp", "8"]) == 0
+    with open(out, "rb") as f:
+        dp_tokens = pickle.load(f)
+    with open(d / "tokens.pkl", "rb") as f:
+        single = pickle.load(f)
+    assert set(dp_tokens) == set(single)
+    for iid in list(single)[:8]:
+        np.testing.assert_allclose(dp_tokens[iid], single[iid], atol=1e-5)

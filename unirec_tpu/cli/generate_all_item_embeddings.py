@@ -39,6 +39,9 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=512)
     p.add_argument("--min-batch-size", type=int, default=16,
                    help="floor for the HBM-aware batch downshift")
+    p.add_argument("--dp", type=int, default=-1,
+                   help="data-parallel devices for the sweep: -1 = all "
+                        "visible devices, 1 = single device")
     p.add_argument("--max-items", type=int, default=None)
     p.add_argument("--profile", action="store_true",
                    help="print per-batch timing stats")
@@ -145,7 +148,26 @@ def main(argv=None) -> int:
         print("error: --checkpoint required", file=sys.stderr)
         return 2
 
-    inference = QFormerInference(args.checkpoint, batch_size=args.batch_size)
+    import jax
+
+    mesh = None
+    dp = args.dp if args.dp > 0 else jax.device_count()
+    if dp > 1:
+        # dp-sharded catalog sweep over the slice (the v5e-8 headline path,
+        # BASELINE.md): params replicated, batches split over devices.
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        devices = jax.devices()[:dp]
+        mesh = Mesh(_np.asarray(devices).reshape(len(devices), 1),
+                    ("dp", "tp"))
+        if args.batch_size % len(devices):
+            args.batch_size += -args.batch_size % len(devices)
+        print(f"sweep sharded over {len(devices)} devices "
+              f"(batch {args.batch_size})")
+    inference = QFormerInference(
+        args.checkpoint, batch_size=args.batch_size, mesh=mesh
+    )
 
     # field embeddings: from cache (fast path) or encoded from raw items
     if args.cache_dir and FieldEmbeddingCache.exists(args.cache_dir):
