@@ -45,7 +45,7 @@ REFERENCE_ITEMS_PER_SEC = 9.8  # measured: reference torch pipeline, this host
 def bench_item_token_generation(batch: int = 4096, iters: int = 5) -> float:
     # QFormerInference's TPU path: the fused Pallas block engine
     # (inference/fused_qformer.py) over bf16 weights — one kernel per
-    # attention block, XLA FFN.  Round 2: 12.2k items/s = 60% MFU
+    # attention block + a chunked FFN kernel.  Round 2: 13.3k items/s = 66% MFU
     # (XLA fast path was 7.1k = 35%).
     from unirec_tpu.inference.fused_qformer import (
         fused_qformer_forward,

@@ -3,8 +3,9 @@
 Consumes the *same* parameter pytree as ``models.item_qformer.ItemQFormer``
 (so checkpoints, torch conversion, and training are untouched) but executes
 the encoder stack with the fused Pallas blocks from
-``ops/fused_qformer_layer.py``: one kernel per attention block, FFN on XLA
-(already ~82% MFU as a pure GEMM chain).  Inference-only — the hot path of
+``ops/fused_qformer_layer.py``: one kernel per attention block plus a
+chunked FFN kernel whose [rows, intermediate] activation never touches HBM.
+Inference-only — the hot path of
 item-query-token generation (reference hot loop:
 data_processing/generate_all_item_embeddings.py:148-346).
 
@@ -27,6 +28,7 @@ from unirec_tpu.configs import ItemQFormerConfig
 from unirec_tpu.ops.fused_qformer_layer import (
     NEG_INF,
     fused_cross_attention_block,
+    fused_ffn_block,
     fused_self_attention_block,
 )
 
@@ -166,28 +168,6 @@ def supports_fused(config: ItemQFormerConfig) -> bool:
     )
 
 
-def _ffn(x, layer: FusedLayerParams, eps: float):
-    """intermediate -> gelu -> output -> LayerNorm(residual); XLA.
-
-    fp32 uses the exact erf gelu (bit-tight parity with the reference);
-    bf16 uses the tanh approximation: it differs from erf by ~1e-3 — an
-    order below bf16 resolution — while XLA's erf polynomial costs +120 ms
-    at production shapes (measured round 2, .scratch/profile_ffn).
-    """
-    h = x @ layer.w1 + layer.b1
-    h = jax.nn.gelu(h, approximate=x.dtype == jnp.bfloat16)
-    h = h @ layer.w2 + layer.b2
-    y = (h + x).astype(jnp.float32)
-    mu = jnp.mean(y, axis=-1, keepdims=True)
-    yc = y - mu
-    var = jnp.mean(yc * yc, axis=-1, keepdims=True)
-    y = yc * jax.lax.rsqrt(var + eps)
-    y = y * layer.ffn_ln_g.astype(jnp.float32) + layer.ffn_ln_b.astype(
-        jnp.float32
-    )
-    return y.astype(x.dtype)
-
-
 def fused_qformer_forward(
     fused: FusedQFormerParams,
     config: ItemQFormerConfig,
@@ -258,5 +238,9 @@ def fused_qformer_forward(
                 num_heads=heads, n_q=k, n_kv=f, ln_eps=eps,
                 interpret=interpret,
             )
-        h = _ffn(h, layer, eps)
+        h = fused_ffn_block(
+            h, layer.w1, layer.b1, layer.w2, layer.b2,
+            layer.ffn_ln_g, layer.ffn_ln_b,
+            n_q=k, ln_eps=eps, interpret=interpret,
+        )
     return h

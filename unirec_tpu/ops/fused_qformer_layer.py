@@ -361,3 +361,121 @@ def fused_cross_attention_block(
     )(xf, memf, wq, _row2d(bq), wkv, _row2d(bkv), wo, _row2d(bo),
       _row2d(ln_gamma), _row2d(ln_beta), kbias)
     return out[: bp * k].reshape(bp, k, d)[:b]
+
+
+def _ffn_kernel(
+    x_ref,       # [T, D]
+    w1_ref,      # [D, C] one chunk of the intermediate dim
+    b1_ref,      # [1, C]
+    w2_ref,      # [C, D]
+    b2_ref,      # [1, D]
+    gamma_ref,   # [1, D]
+    beta_ref,    # [1, D]
+    o_ref,       # [T, D]
+    acc_ref,     # [T, D] fp32 scratch accumulator
+    *,
+    num_chunks: int,
+    ln_eps: float,
+    approx_gelu: bool,
+):
+    import jax.experimental.pallas as pl
+
+    c_idx = pl.program_id(1)
+
+    @pl.when(c_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    h = (
+        jax.lax.dot_general(
+            x, w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b1_ref[...].astype(jnp.float32)
+    )
+    h = jax.nn.gelu(h, approximate=approx_gelu).astype(x.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(c_idx == num_chunks - 1)
+    def _done():
+        y = _layer_norm_rows(
+            acc_ref[...] + b2_ref[...].astype(jnp.float32)
+            + x.astype(jnp.float32),
+            gamma_ref[...].astype(jnp.float32),
+            beta_ref[...].astype(jnp.float32),
+            ln_eps,
+        )
+        o_ref[...] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_q", "ln_eps", "interpret")
+)
+def fused_ffn_block(
+    x: jax.Array,          # [B, K, D]
+    w1: jax.Array,         # [D, I]
+    b1: jax.Array,         # [I]
+    w2: jax.Array,         # [I, D]
+    b2: jax.Array,         # [D]
+    ln_gamma: jax.Array,
+    ln_beta: jax.Array,
+    *,
+    n_q: int,
+    ln_eps: float = 1e-12,
+    interpret: bool = False,
+) -> jax.Array:
+    """LayerNorm(x + W2·gelu(W1·x)): the intermediate [rows, I] activation
+    never touches HBM — W1/W2 stream through VMEM in I-chunks accumulated
+    in fp32.  gelu follows the engine's dtype rule (bf16 -> tanh approx,
+    fp32 -> exact erf; see inference/fused_qformer._ffn)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, k, d = x.shape
+    inter = w1.shape[1]
+    chunk = min(1024, inter)
+    assert inter % chunk == 0
+    num_chunks = inter // chunk
+    tile = _TILE_ROWS if _TILE_ROWS % n_q == 0 else n_q
+    rows = b * k
+    pad_rows = (-rows) % tile
+    xf = x.reshape(rows, d)
+    if pad_rows:
+        xf = jnp.pad(xf, ((0, pad_rows), (0, 0)))
+    n_tiles = xf.shape[0] // tile
+
+    kernel = functools.partial(
+        _ffn_kernel,
+        num_chunks=num_chunks,
+        ln_eps=ln_eps,
+        approx_gelu=x.dtype == jnp.bfloat16,
+    )
+    const = lambda i, c: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, num_chunks),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, chunk), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile, d), jnp.float32)],
+        interpret=interpret,
+    )(xf, w1, _row2d(b1), w2, _row2d(b2), _row2d(ln_gamma), _row2d(ln_beta))
+    return out[:rows].reshape(b, k, d)
