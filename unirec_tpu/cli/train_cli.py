@@ -343,6 +343,7 @@ def _run_joint(args) -> int:
     trainer = JointTrainer(
         qwen_cfg, inf.config, jc, lora=LoRAConfig(), train_config=tc,
         dtype="bfloat16" if args.bf16 else "float32", remat=True,
+        remat_policy="dots",  # keep GEMM outputs: 574 vs 665 ms/step measured
     )
 
     qwen_params = None

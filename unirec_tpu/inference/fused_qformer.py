@@ -22,7 +22,6 @@ from typing import Any, List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from unirec_tpu.configs import ItemQFormerConfig
 from unirec_tpu.ops.fused_qformer_layer import (

@@ -32,7 +32,6 @@ Layouts (wrappers pad rows):
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

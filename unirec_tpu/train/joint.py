@@ -42,7 +42,6 @@ from unirec_tpu.parallel.mesh import (
     make_mesh,
     pad_batch,
     replicate,
-    shard_batch,
 )
 from unirec_tpu.train.common import (
     TrainState,
