@@ -70,6 +70,8 @@ def main(argv=None) -> int:
     sp.add_argument("--reviews", required=True, help="review dict JSON")
     sp.add_argument("--cache-dir", required=True)
     sp.add_argument("--max-seq-len", type=int, default=50)
+    sp.add_argument("--bf16", action="store_true",
+                    help="bf16 activations (fp32 params)")
     _common_train_flags(sp, 64, 50, 5e-5)
 
     sp = sub.add_parser("joint")
@@ -243,6 +245,7 @@ def _dispatch(args) -> int:
             cache, histories, reviews, model, inf.params,
             train_config=tc, max_seq_len=args.max_seq_len,
             checkpoint_dir=args.checkpoint_dir,
+            dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
         )
         print(json.dumps(metrics, indent=2))
         return 0

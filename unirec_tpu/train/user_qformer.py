@@ -100,10 +100,18 @@ class UserQFormerTrainer:
     user_config: UserQFormerConfig
     train_config: TrainConfig
     max_seq_len: int = 50
+    # "float32" (strict parity) or "bfloat16" (mixed precision: bf16
+    # activations on the MXU, fp32 params/optimizer)
+    dtype: str = "float32"
 
     def __post_init__(self):
-        self.user_model = UserQFormer(self.user_config)
-        self.seq_model = UserSequenceModel(self.user_config.input_embedding_dim)
+        compute_dtype = (
+            jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        )
+        self.user_model = UserQFormer(self.user_config, dtype=compute_dtype)
+        self.seq_model = UserSequenceModel(
+            self.user_config.input_embedding_dim, dtype=compute_dtype
+        )
         self.mesh = make_mesh(self.train_config.mesh)
         self.dp_size = self.mesh.shape["dp"]
         self._train_step = data_parallel_jit(self._make_step(), self.mesh)
@@ -235,6 +243,7 @@ def train_user_qformer(
     train_config: Optional[TrainConfig] = None,
     max_seq_len: int = 50,
     checkpoint_dir: Optional[str] = None,
+    dtype: str = "float32",
     log_fn=print,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Full driver (reference: train_user_qformer,
@@ -249,7 +258,8 @@ def train_user_qformer(
         batch_size=64, num_epochs=50,
         optimizer=OptimizerConfig(learning_rate=5e-5),
     )
-    trainer = UserQFormerTrainer(user_config, train_config, max_seq_len)
+    trainer = UserQFormerTrainer(user_config, train_config, max_seq_len,
+                                 dtype=dtype)
     samples = build_sliding_window_samples(user_histories, max_seq_len=max_seq_len)
     ts_map = build_timestamp_map(review_data)
     item_tokens = precompute_item_tokens(item_qformer, item_qformer_params, cache)
