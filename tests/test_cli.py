@@ -310,21 +310,27 @@ def test_full_pipeline_raw_jsonl_to_recommendation(pipeline_dir):
 
 
 def test_tokens_cli_dp_sharded_sweep(pipeline_dir):
-    """--dp shards the token-generation sweep over the device mesh; output
-    must match the single-device sweep (the v5e-8 headline path through the
-    real CLI entry point)."""
+    """--dp 8 shards the token-generation sweep over the device mesh; output
+    must match an explicit --dp 1 single-device sweep (the v5e-8 headline
+    path through the real CLI entry point — the default tokens.pkl is NOT a
+    valid baseline because --dp defaults to all devices)."""
     d = pipeline_dir
-    if not os.path.exists(d / "tokens.pkl"):
+    if not os.path.exists(d / "cache"):
         test_train_and_tokens_cli(pipeline_dir)
-    out = str(d / "tokens_dp8.pkl")
+    out1 = str(d / "tokens_dp1.pkl")
     assert tokens_main(["--checkpoint", str(d / "iq_ckpt"),
                         "--cache-dir", str(d / "cache"),
-                        "--output", out, "--batch-size", "16",
+                        "--output", out1, "--batch-size", "16",
+                        "--dp", "1"]) == 0
+    out8 = str(d / "tokens_dp8.pkl")
+    assert tokens_main(["--checkpoint", str(d / "iq_ckpt"),
+                        "--cache-dir", str(d / "cache"),
+                        "--output", out8, "--batch-size", "16",
                         "--dp", "8"]) == 0
-    with open(out, "rb") as f:
+    with open(out8, "rb") as f:
         dp_tokens = pickle.load(f)
-    with open(d / "tokens.pkl", "rb") as f:
+    with open(out1, "rb") as f:
         single = pickle.load(f)
-    assert set(dp_tokens) == set(single)
+    assert set(dp_tokens) == set(single) and len(single) == N_ITEMS
     for iid in list(single)[:8]:
         np.testing.assert_allclose(dp_tokens[iid], single[iid], atol=1e-5)

@@ -156,3 +156,39 @@ def test_fused_with_field_type_embeddings():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
     )
+
+
+def test_fused_ffn_multi_chunk_and_odd_intermediate():
+    """The FFN kernel's chunked accumulation (num_chunks > 1) must match the
+    model, and non-chunkable intermediate dims must fall back to XLA via
+    supports_fused (code-review r2 findings)."""
+    from unirec_tpu.ops.fused_qformer_layer import ffn_chunk_size
+
+    assert ffn_chunk_size(4096) == 1024  # production: 4 chunks
+    assert ffn_chunk_size(2048) == 1024
+    assert ffn_chunk_size(1536) == 768
+    assert ffn_chunk_size(1000) == 0  # no lane-aligned divisor -> XLA
+    assert not supports_fused(ItemQFormerConfig(intermediate_size=1000))
+
+    cfg = ItemQFormerConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=2048,  # 2 chunks: exercises acc init/+=/flush
+        num_query_tokens=8, field_embedding_dim=D, num_fields=F, dropout=0.0,
+    )
+    model = ItemQFormer(cfg)
+    rng = np.random.RandomState(2)
+    fields = rng.randn(4, F, D).astype(np.float32)
+    mask = np.ones((4, F), np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(fields[:2]), jnp.asarray(mask[:2])
+    )
+    ref = model.apply(params, jnp.asarray(fields), jnp.asarray(mask))[
+        "query_outputs"
+    ]
+    fused = prepare_fused_params(params, cfg, dtype=jnp.float32)
+    out = fused_qformer_forward(
+        fused, cfg, jnp.asarray(fields), jnp.asarray(mask), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )

@@ -204,3 +204,47 @@ def test_user_eval_metrics(user_setup, eight_devices):
     assert set(m) >= {"token_mse", "token_cosine", "retrieval_mrr",
                       "retrieval_hit@1"}
     assert np.isfinite(m["token_mse"]) and 0 <= m["retrieval_mrr"] <= 1
+
+
+def test_user_trainer_bf16_mode():
+    """--bf16 plumbing: bf16 activations, fp32 params, finite decreasing loss."""
+    import numpy as np
+
+    from unirec_tpu.configs import (
+        MeshConfig,
+        OptimizerConfig,
+        TrainConfig,
+        UserQFormerConfig,
+    )
+    from unirec_tpu.train.user_qformer import UserQFormerTrainer
+
+    uc = UserQFormerConfig(
+        hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64, num_query_tokens=4, input_embedding_dim=32,
+        num_item_tokens_to_predict=2, dropout=0.0,
+    )
+    tr = UserQFormerTrainer(
+        uc,
+        TrainConfig(batch_size=4, optimizer=OptimizerConfig(learning_rate=1e-3),
+                    mesh=MeshConfig(dp=1, tp=1)),
+        max_seq_len=4, dtype="bfloat16",
+    )
+    state = tr.init_state()
+    assert all(
+        x.dtype == jnp.float32
+        for x in jax.tree_util.tree_leaves(state.params)
+    )  # master params stay fp32
+    rng = np.random.RandomState(0)
+    batch = {
+        "item_tokens": jnp.asarray(rng.randn(4, 4, 2, 32).astype(np.float32)),
+        "timestamps": jnp.asarray(rng.rand(4, 4).astype(np.float32)),
+        "coordinates": jnp.zeros((4, 4, 2), jnp.float32),
+        "seq_mask": jnp.ones((4, 4), jnp.float32),
+        "target_tokens": jnp.asarray(rng.randn(4, 2, 32).astype(np.float32)),
+    }
+    losses = []
+    for _ in range(8):
+        state, m = tr._train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -157,13 +157,17 @@ def prepare_fused_params(
 
 
 def supports_fused(config: ItemQFormerConfig) -> bool:
-    """Kernel constraints: items must tile into 256 MXU rows and heads must
-    split the hidden dim."""
+    """Kernel constraints: items must tile into 256 MXU rows, heads must
+    split the hidden dim, and the FFN intermediate dim must admit a
+    lane-aligned chunk (ops/fused_qformer_layer.ffn_chunk_size)."""
+    from unirec_tpu.ops.fused_qformer_layer import ffn_chunk_size
+
     k = config.num_query_tokens
     return (
         k > 0
         and 256 % k == 0
         and config.hidden_size % config.num_attention_heads == 0
+        and ffn_chunk_size(config.intermediate_size) > 0
     )
 
 
@@ -240,6 +244,6 @@ def fused_qformer_forward(
         h = fused_ffn_block(
             h, layer.w1, layer.b1, layer.w2, layer.b2,
             layer.ffn_ln_g, layer.ffn_ln_b,
-            n_q=k, ln_eps=eps, interpret=interpret,
+            ln_eps=eps, interpret=interpret,
         )
     return h

@@ -411,8 +411,17 @@ def _ffn_kernel(
         o_ref[...] = y.astype(o_ref.dtype)
 
 
+def ffn_chunk_size(intermediate: int) -> int:
+    """Largest lane-aligned chunk (<=1024, multiple of 128) dividing the
+    intermediate dim; 0 if none exists (caller must fall back to XLA)."""
+    for c in range(min(1024, intermediate), 0, -128):
+        if intermediate % c == 0 and c % 128 == 0:
+            return c
+    return 0
+
+
 @functools.partial(
-    jax.jit, static_argnames=("n_q", "ln_eps", "interpret")
+    jax.jit, static_argnames=("ln_eps", "interpret")
 )
 def fused_ffn_block(
     x: jax.Array,          # [B, K, D]
@@ -423,7 +432,6 @@ def fused_ffn_block(
     ln_gamma: jax.Array,
     ln_beta: jax.Array,
     *,
-    n_q: int,
     ln_eps: float = 1e-12,
     interpret: bool = False,
 ) -> jax.Array:
@@ -436,10 +444,11 @@ def fused_ffn_block(
 
     b, k, d = x.shape
     inter = w1.shape[1]
-    chunk = min(1024, inter)
-    assert inter % chunk == 0
+    chunk = ffn_chunk_size(inter)
+    assert chunk, f"no lane-aligned chunk divides intermediate dim {inter}"
     num_chunks = inter // chunk
-    tile = _TILE_ROWS if _TILE_ROWS % n_q == 0 else n_q
+    # the FFN is purely row-wise: no item-alignment constraint on the tile
+    tile = _TILE_ROWS
     rows = b * k
     pad_rows = (-rows) % tile
     xf = x.reshape(rows, d)
