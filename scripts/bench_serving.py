@@ -1,0 +1,123 @@
+"""Benchmark end-to-end serving (Recommender.recommend) on the real TPU.
+
+Reproduces the BASELINE.md round-2 "5b" configuration: production joint model
+(Qwen3-0.6B + K=2 Q-Former), seq 512, top-10 over a 20k-item catalog, batch 16
+— then measures the host-side pipeline (prompt tokenization, cache gathers,
+batch assembly) overlapped with device compute.
+
+Usage:
+  JAX_COMPILATION_CACHE_DIR=.jax_cache python scripts/bench_serving.py \
+      [--users 128] [--batch 16] [--catalog 20000]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--users", type=int, default=128)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--catalog", type=int, default=20000)
+    p.add_argument("--seq", type=int, default=512)
+    args = p.parse_args()
+
+    from unirec_tpu.configs import (
+        ItemQFormerConfig,
+        JointModelConfig,
+        LoRAConfig,
+        Qwen3Config,
+    )
+    from unirec_tpu.data.cache import FieldEmbeddingCache
+    from unirec_tpu.data.tokenizer import HashTokenizer
+    from unirec_tpu.models.joint import MultiModalQwenEmbedding
+    from unirec_tpu.serving.recommender import Recommender
+
+    qwen = Qwen3Config()
+    qf = ItemQFormerConfig(num_query_tokens=2)
+    jc = JointModelConfig(max_length=args.seq)
+
+    rng = np.random.RandomState(0)
+    n = args.catalog
+    item_ids = [f"B{k:08d}" for k in range(n)]
+    cache = FieldEmbeddingCache(
+        embeddings=rng.randn(n, qf.num_fields, qf.field_embedding_dim).astype(
+            np.float32),
+        masks=np.ones((n, qf.num_fields), np.float32),
+        fields=[f"f{j}" for j in range(qf.num_fields)],
+        item_ids=item_ids,
+    )
+    catalog = {iid: rng.randn(qwen.hidden_size).astype(np.float32)
+               for iid in item_ids}
+    item_dict = {
+        iid: {"title": f"Product {k} with a reasonably long catalog title"}
+        for k, iid in enumerate(item_ids)
+    }
+    tok = HashTokenizer(qwen.vocab_size, jc.num_history_items,
+                        jc.num_query_tokens_per_item)
+
+    model = MultiModalQwenEmbedding(qwen, qf, jc, lora=LoRAConfig(),
+                                    dtype=jnp.bfloat16)
+    t0 = time.time()
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, jc.max_length), jnp.int32),
+        jnp.ones((1, jc.max_length)),
+        jnp.zeros((1, jc.num_history_items, qf.num_fields,
+                   qf.field_embedding_dim)),
+        jnp.ones((1, jc.num_history_items, qf.num_fields)),
+    )
+    print(f"init: {time.time()-t0:.1f}s", flush=True)
+
+    rec = Recommender(model, params, tok, item_dict, cache, catalog,
+                      batch_size=args.batch)
+
+    # user histories: zipfian-ish sampling over the catalog (repeat-heavy,
+    # like real traffic — exercises the fragment cache)
+    hot = max(1, n // 20)
+    histories = [
+        [item_ids[rng.randint(0, hot if rng.rand() < 0.8 else n)]
+         for _ in range(rng.randint(1, jc.num_history_items + 1))]
+        for _ in range(args.users)
+    ]
+
+    t0 = time.time()
+    out = rec.recommend(histories[: args.batch], k=10)
+    print(f"compile+first batch: {time.time()-t0:.1f}s", flush=True)
+    assert len(out) == args.batch and len(out[0]) == 10
+
+    # pass 1: fragment cache mostly cold (only the compile batch is cached);
+    # pass 2: same histories -> fully warm (the steady state under real,
+    # repeat-heavy traffic)
+    for label, hs in (("cold-frags", histories), ("warm", histories[::-1])):
+        t0 = time.time()
+        out = rec.recommend(hs, k=10)
+        dt = time.time() - t0
+        print(
+            f"RESULT {label} users={len(hs)} batch={args.batch} "
+            f"catalog={n} users_per_s={len(hs)/dt:.1f} total_s={dt:.2f}",
+            flush=True,
+        )
+
+    # host-side assembly alone (no device): the previous bottleneck
+    t0 = time.time()
+    for i in range(0, len(histories), args.batch):
+        chunk = list(histories[i : i + args.batch])
+        while len(chunk) < args.batch:
+            chunk.append([])
+        rec._build_batch(chunk)
+    dt = time.time() - t0
+    print(f"host assembly only: {len(histories)/dt:.1f} users/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,17 @@ class BaseTokenizer:
     def _encode_text(self, text: str) -> List[int]:  # pragma: no cover
         raise NotImplementedError
 
+    def encode_plain(self, text: str) -> List[int]:
+        """Ids for a text FRAGMENT: no sequence affixes (BOS/EOS), no special
+        tokens inside.  Used by the serving prompt cache
+        (serving/prompt_cache.py) to assemble full prompts from cached
+        per-item fragments."""
+        return self._encode_text(text)
+
+    def affix_ids(self) -> Tuple[List[int], List[int]]:
+        """(prefix, suffix) ids the tokenizer adds around a full sequence."""
+        return [], []
+
     def encode(self, text: str, max_length: int) -> Tuple[np.ndarray, np.ndarray]:
         ids = self._encode_text(text)[:max_length]
         mask = np.zeros(max_length, np.float32)
@@ -113,6 +124,24 @@ class HFTokenizer(BaseTokenizer):
 
     def _encode_text(self, text: str) -> List[int]:
         return self.tok(text, add_special_tokens=True)["input_ids"]
+
+    def encode_plain(self, text: str) -> List[int]:
+        return self.tok(text, add_special_tokens=False)["input_ids"]
+
+    def affix_ids(self) -> Tuple[List[int], List[int]]:
+        """Sequence affixes from the tokenizer's own template: ids added
+        around an empty input (Qwen adds none; BERT-style adds CLS/SEP)."""
+        ids = self.tok("", add_special_tokens=True)["input_ids"]
+        if not ids:
+            return [], []
+        # split at the insertion point of an empty body: everything a bare
+        # encode emits is affix; a single probe token locates the boundary.
+        probe = self.tok("a", add_special_tokens=False)["input_ids"]
+        full = self.tok("a", add_special_tokens=True)["input_ids"]
+        for start in range(len(full) - len(probe) + 1):
+            if full[start : start + len(probe)] == probe:
+                return full[:start], full[start + len(probe):]
+        return ids, []  # fallback: treat everything as prefix
 
 
 def make_tokenizer(

@@ -23,7 +23,7 @@ import numpy as np
 
 from unirec_tpu.data.cache import FieldEmbeddingCache
 from unirec_tpu.data.tokenizer import BaseTokenizer
-from unirec_tpu.models.joint import MultiModalQwenEmbedding, construct_input_text
+from unirec_tpu.models.joint import MultiModalQwenEmbedding
 from unirec_tpu.ops.losses import l2_normalize
 from unirec_tpu.ops.ranking import retrieve_top_k
 
@@ -73,10 +73,22 @@ class Recommender:
         else:
             self._catalog_dev = jnp.asarray(self.catalog)
 
+        # user forward with L2 norm fused in (one less host round trip)
         self._fwd = jax.jit(
-            lambda p, ids, m, he, hm: self.model.apply(
-                {"params": p} if "params" not in p else p, ids, m, he, hm
+            lambda p, ids, m, he, hm: l2_normalize(
+                self.model.apply(
+                    {"params": p} if "params" not in p else p, ids, m, he, hm
+                )
             )
+        )
+        # fragment-cached prompt tokenization (serving/prompt_cache.py):
+        # exact by construction (self-verified) and ~free after warmup on
+        # repeated titles — the measured host-side bottleneck of serving.
+        from unirec_tpu.serving.prompt_cache import CachedPromptEncoder
+
+        self._prompt = CachedPromptEncoder(
+            tokenizer, item_dict, self.jc.num_history_items,
+            self.jc.num_query_tokens_per_item,
         )
 
     # -- user encoding -----------------------------------------------------
@@ -95,17 +107,18 @@ class Recommender:
             e, m = self.cache.gather(history)
             hist_emb[i, : len(history)] = e
             hist_mask[i, : len(history)] = m
-            text = construct_input_text(
-                history, self.item_dict, jc.num_history_items,
-                jc.num_query_tokens_per_item,
-            )
-            ids, mask = self.tokenizer.encode(text, jc.max_length)
-            input_ids[i], attn[i] = ids, mask
+            input_ids[i], attn[i] = self._prompt.encode(history, jc.max_length)
         return input_ids, attn, hist_emb, hist_mask
 
     def encode_users(self, histories: Sequence[Sequence[str]]) -> np.ndarray:
-        """[num_users, D] L2-normalized user embeddings; fixed-shape batches."""
-        out = []
+        """[num_users, D] L2-normalized user embeddings; fixed-shape batches.
+
+        All batches are dispatched before any result is fetched: jax dispatch
+        is async, so host assembly of batch N+1 overlaps device compute of
+        batch N, and the (expensive over the axon tunnel) device->host sync
+        happens once at the end instead of once per batch.
+        """
+        pending = []
         bs = self.batch_size
         for i in range(0, len(histories), bs):
             chunk = list(histories[i : i + bs])
@@ -117,8 +130,10 @@ class Recommender:
                 self.params, jnp.asarray(ids), jnp.asarray(attn),
                 jnp.asarray(he), jnp.asarray(hm),
             )
-            out.append(np.asarray(l2_normalize(emb), np.float32)[:n])
-        return np.concatenate(out, axis=0)
+            pending.append((emb, n))
+        return np.concatenate(
+            [np.asarray(emb, np.float32)[:n] for emb, n in pending], axis=0
+        )
 
     # -- ranking -----------------------------------------------------------
 
