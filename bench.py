@@ -42,7 +42,9 @@ from unirec_tpu.models.item_qformer import ItemQFormer  # noqa: E402
 REFERENCE_ITEMS_PER_SEC = 9.8  # measured: reference torch pipeline, this host
 
 
-def bench_item_token_generation(batch: int = 4096, iters: int = 5) -> float:
+def bench_item_token_generation(
+    batch: int = 4096, iters: int = 5, precision: str = "bf16"
+) -> float:
     # QFormerInference's TPU path: the fused Pallas block engine
     # (inference/fused_qformer.py) over bf16 weights — one kernel per
     # attention block + a chunked FFN kernel.  Round 2: 13.3k items/s = 66% MFU
@@ -58,7 +60,9 @@ def bench_item_token_generation(batch: int = 4096, iters: int = 5) -> float:
     fields = jax.random.normal(rng, (batch, 14, 1024), jnp.float32)
     mask = jnp.ones((batch, 14))
     params = model.init(rng, fields[:2], mask[:2])
-    fused = prepare_fused_params(params, cfg, dtype=jnp.bfloat16)
+    fused = prepare_fused_params(
+        params, cfg, dtype=jnp.bfloat16, precision=precision
+    )
 
     # Reduce to a scalar inside jit: measures device compute throughput.
     # (Returning the full [B, K, 1024] tensor would time the host<->device
@@ -77,7 +81,18 @@ def bench_item_token_generation(batch: int = 4096, iters: int = 5) -> float:
 
 
 def main() -> None:
-    items_per_sec = bench_item_token_generation()
+    # Headline precision: int8 W8A8 fused kernels (round 3) — 18.0k items/s
+    # vs 13.2k bf16.  Quality at the production config vs the strict fp32
+    # path (scripts/measure_int8_quality.py, BASELINE.md): per-token cosine
+    # 0.9995 mean / 0.9993 min (bf16 engine: 0.99995).  The library default
+    # for inference remains bf16; int8 is explicit opt-in
+    # (QFormerInference(precision="int8"), tokens CLI --precision int8).
+    # Override: `python bench.py bf16` or BENCH_PRECISION=bf16.
+    precision = (
+        sys.argv[1] if len(sys.argv) > 1
+        else os.environ.get("BENCH_PRECISION", "int8")
+    )
+    items_per_sec = bench_item_token_generation(precision=precision)
     print(
         json.dumps(
             {

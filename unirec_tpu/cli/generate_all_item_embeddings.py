@@ -51,6 +51,9 @@ def parse_args(argv=None):
                    help="benchmark batch vs per-item processing on a sample")
     p.add_argument("--check-devices", action="store_true")
     p.add_argument("--progress-file", default=None)
+    p.add_argument("--precision", default="bf16", choices=["bf16", "int8"],
+                   help="int8: W8A8 fused kernels (~2x MXU throughput; "
+                   "opt-in, quality deltas in BASELINE.md)")
     return p.parse_args(argv)
 
 
@@ -166,7 +169,8 @@ def main(argv=None) -> int:
         print(f"sweep sharded over {len(devices)} devices "
               f"(batch {args.batch_size})")
     inference = QFormerInference(
-        args.checkpoint, batch_size=args.batch_size, mesh=mesh
+        args.checkpoint, batch_size=args.batch_size, mesh=mesh,
+        precision=args.precision,
     )
 
     # field embeddings: from cache (fast path) or encoded from raw items

@@ -58,10 +58,23 @@ class FusedLayerParams:
     b2: Any = None
     ffn_ln_g: Any = None
     ffn_ln_b: Any = None
+    # int8 per-output-channel weight scales (ops/fused_qformer_int8.py);
+    # None on the bf16 engine
+    sqkv: Any = None
+    self_so: Any = None
+    sq: Any = None
+    skv: Any = None
+    cross_so: Any = None
+    s1: Any = None
+    s2: Any = None
 
     @property
     def has_cross(self) -> bool:
         return self.wq is not None
+
+    @property
+    def is_int8(self) -> bool:
+        return self.sqkv is not None
 
 
 jax.tree_util.register_dataclass(
@@ -92,14 +105,23 @@ jax.tree_util.register_dataclass(
 
 
 def prepare_fused_params(
-    params, config: ItemQFormerConfig, dtype=jnp.bfloat16
+    params, config: ItemQFormerConfig, dtype=jnp.bfloat16,
+    precision: str = "bf16",
 ) -> FusedQFormerParams:
     """ItemQFormer param tree -> kernel-ready fused weights (host-side,
-    one-time).  Accepts ``{"params": tree}`` or the inner tree."""
+    one-time).  Accepts ``{"params": tree}`` or the inner tree.
+
+    ``precision="int8"`` quantizes every projection/FFN weight per output
+    channel (ops/fused_qformer_int8.quantize_weight) for the W8A8 kernels;
+    biases/LayerNorms stay fp32 either way (kernels compute them fp32).
+    """
     tree = params.get("params", params)
     qf = tree["qformer"]
     enc = qf["encoder"]
     cfg = config.qformer() if hasattr(config, "qformer") else config
+    int8 = precision == "int8"
+    if int8:
+        from unirec_tpu.ops.fused_qformer_int8 import quantize_weight
 
     def arr(x):
         # jnp.asarray casts in place on device — never pull params through
@@ -108,6 +130,9 @@ def prepare_fused_params(
 
     def dense(d):
         return arr(d["kernel"]), arr(d["bias"])
+
+    def quant(w):
+        return quantize_weight(jnp.asarray(w, jnp.float32))
 
     layers = []
     for i in range(cfg.num_hidden_layers):
@@ -125,6 +150,9 @@ def prepare_fused_params(
             self_ln_g=arr(att["output_LayerNorm"]["scale"]),
             self_ln_b=arr(att["output_LayerNorm"]["bias"]),
         )
+        if int8:
+            layer.wqkv, layer.sqkv = quant(layer.wqkv)
+            layer.self_wo, layer.self_so = quant(layer.self_wo)
         if "crossattention" in lp:
             catt = lp["crossattention"]
             cwq, cbq = dense(catt["query"])
@@ -137,11 +165,18 @@ def prepare_fused_params(
             layer.cross_wo, layer.cross_bo = cwo, cbo
             layer.cross_ln_g = arr(catt["output_LayerNorm"]["scale"])
             layer.cross_ln_b = arr(catt["output_LayerNorm"]["bias"])
+            if int8:
+                layer.wq, layer.sq = quant(layer.wq)
+                layer.wkv, layer.skv = quant(layer.wkv)
+                layer.cross_wo, layer.cross_so = quant(layer.cross_wo)
         ffn = lp["ffn_query"]
         layer.w1, layer.b1 = dense(ffn["intermediate_dense"])
         layer.w2, layer.b2 = dense(ffn["output_dense"])
         layer.ffn_ln_g = arr(ffn["output_LayerNorm"]["scale"])
         layer.ffn_ln_b = arr(ffn["output_LayerNorm"]["bias"])
+        if int8:
+            layer.w1, layer.s1 = quant(layer.w1)
+            layer.w2, layer.s2 = quant(layer.w2)
         layers.append(layer)
 
     return FusedQFormerParams(
@@ -215,35 +250,66 @@ def fused_qformer_forward(
     )
     h = h.astype(dtype)
 
+    int8 = fused.layers and fused.layers[0].is_int8
+    if int8:
+        from unirec_tpu.ops.fused_qformer_int8 import (
+            fused_cross_attention_block_q,
+            fused_ffn_block_q,
+            fused_self_attention_block_q,
+        )
+
+    def self_block(x, layer):
+        if layer.is_int8:
+            return fused_self_attention_block_q(
+                x, layer.wqkv, layer.sqkv, layer.bqkv,
+                layer.self_wo, layer.self_so, layer.self_bo,
+                layer.self_ln_g, layer.self_ln_b,
+                num_heads=heads, n_q=k, ln_eps=eps, interpret=interpret,
+            )
+        return fused_self_attention_block(
+            x, layer.wqkv, layer.bqkv, layer.self_wo, layer.self_bo,
+            layer.self_ln_g, layer.self_ln_b,
+            num_heads=heads, n_q=k, ln_eps=eps, interpret=interpret,
+        )
+
     for li, layer in enumerate(fused.layers):
         if li == 0:
             # at entry every item carries the SAME broadcast query tokens, so
             # the first self-attention block is batch-constant: compute one
             # item and broadcast (exact; saves 1/num_layers of self time)
-            h1 = fused_self_attention_block(
-                h[:1], layer.wqkv, layer.bqkv, layer.self_wo, layer.self_bo,
-                layer.self_ln_g, layer.self_ln_b,
-                num_heads=heads, n_q=k, ln_eps=eps, interpret=interpret,
-            )
-            h = jnp.broadcast_to(h1, h.shape)
+            h = jnp.broadcast_to(self_block(h[:1], layer), h.shape)
         else:
-            h = fused_self_attention_block(
-                h, layer.wqkv, layer.bqkv, layer.self_wo, layer.self_bo,
-                layer.self_ln_g, layer.self_ln_b,
-                num_heads=heads, n_q=k, ln_eps=eps, interpret=interpret,
-            )
+            h = self_block(h, layer)
         if layer.has_cross:
-            h = fused_cross_attention_block(
-                h, mem, key_bias,
-                layer.wq, layer.bq, layer.wkv, layer.bkv,
-                layer.cross_wo, layer.cross_bo,
-                layer.cross_ln_g, layer.cross_ln_b,
-                num_heads=heads, n_q=k, n_kv=f, ln_eps=eps,
-                interpret=interpret,
+            if layer.is_int8:
+                h = fused_cross_attention_block_q(
+                    h, mem, key_bias,
+                    layer.wq, layer.sq, layer.bq,
+                    layer.wkv, layer.skv, layer.bkv,
+                    layer.cross_wo, layer.cross_so, layer.cross_bo,
+                    layer.cross_ln_g, layer.cross_ln_b,
+                    num_heads=heads, n_q=k, n_kv=f, ln_eps=eps,
+                    interpret=interpret,
+                )
+            else:
+                h = fused_cross_attention_block(
+                    h, mem, key_bias,
+                    layer.wq, layer.bq, layer.wkv, layer.bkv,
+                    layer.cross_wo, layer.cross_bo,
+                    layer.cross_ln_g, layer.cross_ln_b,
+                    num_heads=heads, n_q=k, n_kv=f, ln_eps=eps,
+                    interpret=interpret,
+                )
+        if layer.is_int8:
+            h = fused_ffn_block_q(
+                h, layer.w1, layer.s1, layer.b1, layer.w2, layer.s2,
+                layer.b2, layer.ffn_ln_g, layer.ffn_ln_b,
+                ln_eps=eps, interpret=interpret,
             )
-        h = fused_ffn_block(
-            h, layer.w1, layer.b1, layer.w2, layer.b2,
-            layer.ffn_ln_g, layer.ffn_ln_b,
-            ln_eps=eps, interpret=interpret,
-        )
+        else:
+            h = fused_ffn_block(
+                h, layer.w1, layer.b1, layer.w2, layer.b2,
+                layer.ffn_ln_g, layer.ffn_ln_b,
+                ln_eps=eps, interpret=interpret,
+            )
     return h

@@ -62,7 +62,12 @@ class QFormerInference:
         batch_size: int = 512,
         mesh=None,
         use_fused: Optional[bool] = None,
+        precision: str = "bf16",
     ):
+        """``precision``: "bf16" (default; matches the fast_attention
+        numerics class) or "int8" (W8A8 fused kernels, ~2x MXU throughput,
+        opt-in; quality deltas in BASELINE.md).  int8 requires the fused
+        engine — it raises if the config can't run fused."""
         if checkpoint_path is not None:
             config, params, field_names = self._load_checkpoint(checkpoint_path)
         if config is None or params is None or field_names is None:
@@ -91,6 +96,16 @@ class QFormerInference:
             supports_fused,
         )
 
+        if precision not in ("bf16", "int8"):
+            raise ValueError(f"precision must be bf16 or int8, got {precision!r}")
+        self.precision = precision
+        if precision == "int8":
+            if use_fused is False or not supports_fused(self.config):
+                raise ValueError(
+                    "precision='int8' requires the fused kernel engine "
+                    "(supports_fused must hold and use_fused must not be False)"
+                )
+            use_fused = True
         if use_fused is None:
             use_fused = (
                 jax.default_backend() == "tpu" and self.config.fast_attention
@@ -98,7 +113,8 @@ class QFormerInference:
         self.use_fused = bool(use_fused) and supports_fused(self.config)
         if self.use_fused:
             self._forward_params = prepare_fused_params(
-                self.params, self.config, dtype=jnp.bfloat16
+                self.params, self.config, dtype=jnp.bfloat16,
+                precision=precision,
             )
             cfg_static = self.config
             # off-TPU the kernels run in interpret mode (tests/CI)

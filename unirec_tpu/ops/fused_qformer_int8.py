@@ -1,0 +1,434 @@
+"""Int8 (W8A8) fused Q-Former blocks: 2x MXU throughput on v5e.
+
+Same block structure as ops/fused_qformer_layer.py (one Pallas kernel per
+attention block + chunked FFN), but the projection and FFN matmuls — ~95% of
+the forward FLOPs — run on the MXU's int8 path (394 TOPS on v5e vs 197
+TFLOP/s bf16):
+
+* weights are quantized per OUTPUT CHANNEL offline
+  (``quantize_weight``: symmetric, scale = col_absmax/127);
+* activations are quantized per ROW dynamically inside the kernel
+  (symmetric, scale = row_absmax/127) — VPU work overlapped with MXU;
+* accumulation is int32, rescaled to fp32 as ``acc * row_scale * col_scale``.
+
+Numerics stay fp32 where it matters: attention scores/softmax (computed from
+the dequantized q/k in bf16, fp32 softmax), LayerNorms, residuals, and the
+FFN's fp32 accumulator.  The score (q·k) and context (p·v) matmuls are tiny
+(<3% of FLOPs at K=32/F=14) and stay bf16.
+
+Opt-in inference mode (``QFormerInference(precision="int8")``); the bf16
+fused engine and the strict-parity fp32 XLA path are unchanged.  Measured
+quality deltas vs fp32 tokens are recorded in BASELINE.md.
+
+Reference hot loop this accelerates:
+data_processing/generate_all_item_embeddings.py:148-346.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unirec_tpu.ops.fused_qformer_layer import _layer_norm_rows, _row2d
+
+NEG_INF = -1e9
+# 512-row tiles were tried (int8 weights halve the weight VMEM): both the
+# FFN (by 0.9 MB) and the self block (by 0.6 MB) overflow the 16 MB scoped
+# VMEM limit from their fp32 intermediates — 256 stands.
+_TILE_ROWS = 256
+_FFN_TILE_ROWS = 256
+
+
+def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[in, out] fp weight -> (int8 weight, [1, out] fp32 col scales)."""
+    w = w.astype(jnp.float32)
+    col_max = jnp.maximum(jnp.max(jnp.abs(w), axis=0, keepdims=True), 1e-8)
+    scale = col_max / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _row_quant(x32):
+    """fp32 [T, D] -> (int8 values, [T, 1] fp32 row scales)."""
+    absmax = jnp.maximum(
+        jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-6
+    )
+    rscale = absmax / 127.0
+    q = jnp.clip(jnp.round(x32 / rscale), -127, 127).astype(jnp.int8)
+    return q, rscale
+
+
+def _mm_q(x_q, rscale, w_ref, s_ref):
+    """int8 x int8 -> fp32: (x_q @ w) * row_scale * col_scale."""
+    acc = jax.lax.dot_general(
+        x_q, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.astype(jnp.float32) * rscale * s_ref[...].astype(jnp.float32)
+
+
+def _self_block_kernel_q(
+    x_ref,       # [T, D] input rows (bf16/fp32)
+    wqkv_ref,    # [D, 3D] int8
+    sqkv_ref,    # [1, 3D] fp32 col scales
+    bqkv_ref,    # [1, 3D]
+    wo_ref,      # [D, D] int8
+    so_ref,      # [1, D]
+    bo_ref,      # [1, D]
+    gamma_ref,
+    beta_ref,
+    o_ref,       # [T, D]
+    ctx_ref,     # [T, D] VMEM scratch (bf16)
+    *,
+    num_heads: int,
+    n_q: int,
+    sm_scale: float,
+    ln_eps: float,
+):
+    t, d = x_ref.shape
+    hd = d // num_heads
+    x = x_ref[...]
+    x_q, rs = _row_quant(x.astype(jnp.float32))
+    qkv = (
+        _mm_q(x_q, rs, wqkv_ref, sqkv_ref)
+        + bqkv_ref[...].astype(jnp.float32)
+    ).astype(jnp.bfloat16)  # [T, 3D]
+
+    qi = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0) // n_q
+    ki = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) // n_q
+    block_bias = jnp.where(qi == ki, 0.0, NEG_INF).astype(jnp.float32)
+
+    for h in range(num_heads):
+        q = qkv[:, h * hd : (h + 1) * hd]
+        k = qkv[:, d + h * hd : d + (h + 1) * hd]
+        v = qkv[:, 2 * d + h * hd : 2 * d + (h + 1) * hd]
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * sm_scale
+            + block_bias
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        c = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ctx_ref[:, h * hd : (h + 1) * hd] = c.astype(ctx_ref.dtype)
+
+    c_q, crs = _row_quant(ctx_ref[...].astype(jnp.float32))
+    out = _mm_q(c_q, crs, wo_ref, so_ref) + bo_ref[...].astype(jnp.float32)
+    y = _layer_norm_rows(
+        out + x.astype(jnp.float32),
+        gamma_ref[...].astype(jnp.float32),
+        beta_ref[...].astype(jnp.float32),
+        ln_eps,
+    )
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _cross_block_kernel_q(
+    x_ref,       # [T, D] query rows
+    mem_ref,     # [T_m, D] memory rows
+    wq_ref, sq_ref, bq_ref,
+    wkv_ref, skv_ref, bkv_ref,
+    wo_ref, so_ref, bo_ref,
+    gamma_ref, beta_ref,
+    kbias_ref,   # [1, T_m]
+    o_ref,
+    ctx_ref,
+    *,
+    num_heads: int,
+    n_q: int,
+    n_kv: int,
+    sm_scale: float,
+    ln_eps: float,
+):
+    t, d = x_ref.shape
+    t_m = mem_ref.shape[0]
+    hd = d // num_heads
+    x = x_ref[...]
+    x_q, xrs = _row_quant(x.astype(jnp.float32))
+    q_all = (
+        _mm_q(x_q, xrs, wq_ref, sq_ref) + bq_ref[...].astype(jnp.float32)
+    ).astype(jnp.bfloat16)
+    m_q, mrs = _row_quant(mem_ref[...].astype(jnp.float32))
+    kv = (
+        _mm_q(m_q, mrs, wkv_ref, skv_ref) + bkv_ref[...].astype(jnp.float32)
+    ).astype(jnp.bfloat16)  # [T_m, 2D]
+
+    qi = jax.lax.broadcasted_iota(jnp.int32, (t, t_m), 0) // n_q
+    ki = jax.lax.broadcasted_iota(jnp.int32, (t, t_m), 1) // n_kv
+    bias = jnp.where(qi == ki, 0.0, NEG_INF).astype(jnp.float32)
+    bias = bias + kbias_ref[0].astype(jnp.float32)
+
+    for h in range(num_heads):
+        q = q_all[:, h * hd : (h + 1) * hd]
+        k = kv[:, h * hd : (h + 1) * hd]
+        v = kv[:, d + h * hd : d + (h + 1) * hd]
+        s = (
+            jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * sm_scale
+            + bias
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        c = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ctx_ref[:, h * hd : (h + 1) * hd] = c.astype(ctx_ref.dtype)
+
+    c_q, crs = _row_quant(ctx_ref[...].astype(jnp.float32))
+    out = _mm_q(c_q, crs, wo_ref, so_ref) + bo_ref[...].astype(jnp.float32)
+    y = _layer_norm_rows(
+        out + x.astype(jnp.float32),
+        gamma_ref[...].astype(jnp.float32),
+        beta_ref[...].astype(jnp.float32),
+        ln_eps,
+    )
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _ffn_kernel_q(
+    x_ref,       # [T, D]
+    w1_ref,      # [D, C] int8 chunk
+    s1_ref,      # [1, C]
+    b1_ref,      # [1, C]
+    w2_ref,      # [C, D] int8 chunk
+    s2_ref,      # [1, D]
+    b2_ref,      # [1, D]
+    gamma_ref,
+    beta_ref,
+    o_ref,
+    acc_ref,     # [T, D] fp32 scratch
+    *,
+    num_chunks: int,
+    ln_eps: float,
+):
+    import jax.experimental.pallas as pl
+
+    c_idx = pl.program_id(1)
+
+    @pl.when(c_idx == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]
+    x_q, rs = _row_quant(x.astype(jnp.float32))
+    h = _mm_q(x_q, rs, w1_ref, s1_ref) + b1_ref[...].astype(jnp.float32)
+    # bf16-engine dtype rule: tanh-approx gelu (inference/fused_qformer._ffn)
+    h = jax.nn.gelu(h, approximate=True)
+    h_q, hrs = _row_quant(h)
+    acc_ref[...] += _mm_q(h_q, hrs, w2_ref, s2_ref)
+
+    @pl.when(c_idx == num_chunks - 1)
+    def _done():
+        y = _layer_norm_rows(
+            acc_ref[...] + b2_ref[...].astype(jnp.float32)
+            + x.astype(jnp.float32),
+            gamma_ref[...].astype(jnp.float32),
+            beta_ref[...].astype(jnp.float32),
+            ln_eps,
+        )
+        o_ref[...] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "n_q", "ln_eps", "interpret")
+)
+def fused_self_attention_block_q(
+    x, wqkv_q, sqkv, bqkv, wo_q, so, bo, ln_gamma, ln_beta,
+    *, num_heads: int, n_q: int, ln_eps: float = 1e-12,
+    interpret: bool = False,
+):
+    """Int8 LayerNorm(x + W_o·SelfAttn(x)); x [B, K, D]."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, k, d = x.shape
+    assert k == n_q and d % num_heads == 0
+    tile = _TILE_ROWS if _TILE_ROWS % n_q == 0 else n_q
+    rows = b * k
+    pad_rows = (-rows) % tile
+    xf = x.reshape(rows, d)
+    if pad_rows:
+        xf = jnp.pad(xf, ((0, pad_rows), (0, 0)))
+    n_tiles = xf.shape[0] // tile
+
+    kernel = functools.partial(
+        _self_block_kernel_q,
+        num_heads=num_heads,
+        n_q=n_q,
+        sm_scale=1.0 / (d // num_heads) ** 0.5,
+        ln_eps=ln_eps,
+    )
+    const = lambda i: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 3 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile, d), jnp.bfloat16)],
+        interpret=interpret,
+    )(xf, wqkv_q, _row2d(sqkv), _row2d(bqkv), wo_q, _row2d(so), _row2d(bo),
+      _row2d(ln_gamma), _row2d(ln_beta))
+    return out[:rows].reshape(b, k, d)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "n_q", "n_kv", "ln_eps", "interpret"),
+)
+def fused_cross_attention_block_q(
+    x, mem, key_bias,
+    wq_q, sq, bq, wkv_q, skv, bkv, wo_q, so, bo, ln_gamma, ln_beta,
+    *, num_heads: int, n_q: int, n_kv: int, ln_eps: float = 1e-12,
+    interpret: bool = False,
+):
+    """Int8 LayerNorm(x + W_o·CrossAttn(x -> mem))."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, k, d = x.shape
+    f, dm = mem.shape[1], mem.shape[2]
+    assert k == n_q and f == n_kv
+    tile = _TILE_ROWS if _TILE_ROWS % n_q == 0 else n_q
+    p_items = tile // n_q
+    pad_b = (-b) % p_items
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
+        mem = jnp.pad(mem, ((0, pad_b), (0, 0), (0, 0)))
+        key_bias = jnp.pad(
+            key_bias, ((0, pad_b), (0, 0)), constant_values=NEG_INF
+        )
+    bp = x.shape[0]
+    n_tiles = bp // p_items
+    xf = x.reshape(bp * k, d)
+    memf = mem.reshape(bp * f, dm)
+    kbias = key_bias.reshape(n_tiles, 1, p_items * f)
+
+    kernel = functools.partial(
+        _cross_block_kernel_q,
+        num_heads=num_heads,
+        n_q=n_q,
+        n_kv=n_kv,
+        sm_scale=1.0 / (d // num_heads) ** 0.5,
+        ln_eps=ln_eps,
+    )
+    const = lambda i: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (p_items * f, dm), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((dm, 2 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, p_items * f), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile, d), jnp.bfloat16)],
+        interpret=interpret,
+    )(xf, memf, wq_q, _row2d(sq), _row2d(bq), wkv_q, _row2d(skv),
+      _row2d(bkv), wo_q, _row2d(so), _row2d(bo), _row2d(ln_gamma),
+      _row2d(ln_beta), kbias)
+    return out[: bp * k].reshape(bp, k, d)[:b]
+
+
+@functools.partial(jax.jit, static_argnames=("ln_eps", "interpret"))
+def fused_ffn_block_q(
+    x, w1_q, s1, b1, w2_q, s2, b2, ln_gamma, ln_beta,
+    *, ln_eps: float = 1e-12, interpret: bool = False,
+):
+    """Int8 LayerNorm(x + W2·gelu(W1·x)), W1/W2 streamed in chunks."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from unirec_tpu.ops.fused_qformer_layer import ffn_chunk_size
+
+    b, k, d = x.shape
+    inter = w1_q.shape[1]
+    chunk = ffn_chunk_size(inter)
+    assert chunk, f"no lane-aligned chunk divides intermediate dim {inter}"
+    num_chunks = inter // chunk
+    tile = _FFN_TILE_ROWS
+    rows = b * k
+    pad_rows = (-rows) % tile
+    xf = x.reshape(rows, d)
+    if pad_rows:
+        xf = jnp.pad(xf, ((0, pad_rows), (0, 0)))
+    n_tiles = xf.shape[0] // tile
+
+    kernel = functools.partial(
+        _ffn_kernel_q, num_chunks=num_chunks, ln_eps=ln_eps
+    )
+    const = lambda i, c: (0, 0)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, num_chunks),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i, c: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, chunk), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d), lambda i, c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
+        scratch_shapes=[pltpu.VMEM((tile, d), jnp.float32)],
+        interpret=interpret,
+    )(xf, w1_q, _row2d(s1), _row2d(b1), w2_q, _row2d(s2), _row2d(b2),
+      _row2d(ln_gamma), _row2d(ln_beta))
+    return out[:rows].reshape(b, k, d)
