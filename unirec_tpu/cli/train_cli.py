@@ -89,6 +89,18 @@ def main(argv=None) -> int:
     sp.add_argument("--save-strategy", default="both",
                     choices=["best_only", "always", "both"])
     sp.add_argument("--bf16", action="store_true", default=True)
+    sp.add_argument("--bf16-base", action="store_true", default=None,
+                    help="store the frozen Qwen3 base in bf16 (numerically "
+                    "free under --bf16: kernels are cast to bf16 at use); "
+                    "halves frozen-param HBM. Default: on for --no-remat, "
+                    "OFF with remat (bf16 params + remat-dots OOMs at "
+                    "batch 16 — BASELINE.md round 3)")
+    sp.add_argument("--no-bf16-base", dest="bf16_base", action="store_false")
+    sp.add_argument("--no-remat", dest="remat", action="store_false",
+                    default=True,
+                    help="disable rematerialization: the fastest measured "
+                    "config at batch <= 8/chip (204.9 ms/step, BASELINE.md); "
+                    "OOMs at batch >= 16")
     sp.add_argument("--tiny", action="store_true",
                     help="2-layer Qwen3 (hidden 1024) for smoke tests / CPU")
     _common_train_flags(sp, 16, 500, 1e-4)
@@ -343,10 +355,18 @@ def _run_joint(args) -> int:
         ),
         mesh=MeshConfig(dp=args.dp, tp=args.tp),
     )
+    remat = getattr(args, "remat", True)
+    bf16_base = getattr(args, "bf16_base", None)
+    if bf16_base is None:
+        # auto: bf16 base is speed-neutral but frees 1.2 GB HBM under
+        # no-remat; combined with remat-dots it OOMs (BASELINE.md round 3)
+        bf16_base = not remat
     trainer = JointTrainer(
         qwen_cfg, inf.config, jc, lora=LoRAConfig(), train_config=tc,
-        dtype="bfloat16" if args.bf16 else "float32", remat=True,
+        dtype="bfloat16" if args.bf16 else "float32",
+        remat=remat,
         remat_policy="dots",  # keep GEMM outputs: 574 vs 665 ms/step measured
+        bf16_base=bf16_base and args.bf16,
     )
 
     qwen_params = None

@@ -273,6 +273,10 @@ class JointTrainer:
     dtype: str = "float32"
     remat: bool = False
     remat_policy: Optional[str] = None  # e.g. "dots" (keep GEMM outputs)
+    # store the frozen Qwen3 base in bf16 (utils/params.cast_frozen_to_bf16):
+    # numerically free under dtype="bfloat16" (kernels are cast to bf16 at
+    # use anyway), halves frozen-param HBM so bigger batches / no-remat fit.
+    bf16_base: bool = False
 
     def __post_init__(self):
         policy = None
@@ -358,6 +362,10 @@ class JointTrainer:
             params["base_model"] = merge_params(
                 params["base_model"], qwen_params
             )
+        if self.bf16_base:
+            from unirec_tpu.utils.params import cast_frozen_to_bf16
+
+            params = cast_frozen_to_bf16(params)
         tx = make_joint_optimizer(params, self.train_config.optimizer)
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx

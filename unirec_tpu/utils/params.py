@@ -55,3 +55,26 @@ def lora_trainable_mask(params: Dict) -> Dict:
 
 def count_params(tree: Dict) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+
+def cast_frozen_to_bf16(params: Dict) -> Dict:
+    """Store the frozen Qwen3 base subtree in bfloat16.
+
+    The joint model's bf16 compute mode casts every kernel to bf16 at use
+    (models/qwen3.py DenseWithLoRA), so bf16 *storage* of frozen params is
+    numerically identical on that path while halving their HBM footprint
+    (0.6B params: 2.4 GB -> 1.2 GB) — freeing memory for larger batches or
+    no-remat training.  Trainable leaves (LoRA, extra token embeddings, the
+    Q-Former — `lora_trainable_mask`) keep fp32 masters; integer leaves are
+    untouched.
+    """
+    import jax.numpy as jnp
+
+    mask = lora_trainable_mask(params)
+    return jax.tree_util.tree_map(
+        lambda p, t: p
+        if t or not jnp.issubdtype(p.dtype, jnp.floating)
+        else p.astype(jnp.bfloat16),
+        params,
+        mask,
+    )
