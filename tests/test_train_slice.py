@@ -112,7 +112,10 @@ def test_training_decreases_loss_on_mesh(cache, eight_devices):
     tc = TrainConfig(
         batch_size=32,
         num_epochs=1,
-        optimizer=OptimizerConfig(learning_rate=3e-3),
+        # lr 3e-3 x 20 epochs only moved recon ~6% — right at fp-noise scale,
+        # which made this test flaky (order-/load-dependent).  1e-2 x 40
+        # epochs reaches ratio ~0.64: signal far above noise.
+        optimizer=OptimizerConfig(learning_rate=1e-2),
         mesh=MeshConfig(dp=8, tp=1),
     )
     trainer = ItemQFormerTrainer(TINY_CFG, tc)
@@ -121,10 +124,13 @@ def test_training_decreases_loss_on_mesh(cache, eight_devices):
     pairs = build_triplet_pairs(seqs, cache.id_to_row)
     rng = np.random.default_rng(0)
     state, m0 = trainer.train_epoch(state, cache, pairs, rng)
-    for _ in range(20):
+    best = float("inf")
+    for _ in range(40):
         state, m1 = trainer.train_epoch(state, cache, pairs, rng)
-    # reconstruction (the dominant, low-noise term) must improve
-    assert m1["recon"] < m0["recon"] * 0.95
+        best = min(best, m1["recon"])
+    # reconstruction (the dominant term) must clearly improve; compare the
+    # BEST epoch, not the last — the last can spike on an unlucky shuffle
+    assert best < m0["recon"] * 0.8, (best, m0["recon"])
     val = trainer.evaluate(state, cache)
     assert np.isfinite(val["val_recon_loss"])
     assert -1.0 <= val["avg_cosine_similarity"] <= 1.0
