@@ -29,6 +29,7 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--catalog", type=int, default=20000)
     p.add_argument("--seq", type=int, default=512)
+    p.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
     args = p.parse_args()
 
     from unirec_tpu.configs import (
@@ -79,7 +80,7 @@ def main():
     print(f"init: {time.time()-t0:.1f}s", flush=True)
 
     rec = Recommender(model, params, tok, item_dict, cache, catalog,
-                      batch_size=args.batch)
+                      batch_size=args.batch, precision=args.precision)
 
     # user histories: zipfian-ish sampling over the catalog (repeat-heavy,
     # like real traffic — exercises the fragment cache)

@@ -150,3 +150,36 @@ def test_quantized_recommender(recommender):
     assert r_fp[0].item_id == r_q[0].item_id
     overlap = len({r.item_id for r in r_fp} & {r.item_id for r in r_q})
     assert overlap >= 4
+
+
+def test_int8_recommender(recommender):
+    """precision="int8": Qwen3 projections run W8A8; user embeddings must
+    stay close to the full-precision path and retrieval must still work."""
+    from unirec_tpu.models.qwen3 import quantize_qwen3_weights
+    from unirec_tpu.serving.recommender import Recommender
+
+    qw = quantize_qwen3_weights(recommender.params)
+    # every decoder layer contributes 7 quantized projections
+    n_q = len(jax.tree_util.tree_leaves(qw))
+    assert n_q == QWEN.num_hidden_layers * 7 * 2  # kernel_q + scale each
+
+    r8 = Recommender(
+        recommender.model, recommender.params, recommender.tokenizer,
+        recommender.item_dict, recommender.cache,
+        {i: recommender.catalog[j] for j, i in
+         enumerate(recommender.catalog_ids)},
+        batch_size=4, precision="int8",
+    )
+    hs = [["i0", "i1"], ["i5"], []]
+    u_ref = recommender.encode_users(hs)
+    u8 = r8.encode_users(hs)
+    cos = (u_ref * u8).sum(-1)  # both L2-normalized
+    assert cos.min() > 0.98, cos
+    recs = r8.recommend(hs, k=5)
+    assert all(len(r) == 5 for r in recs)
+
+    with pytest.raises(ValueError):
+        Recommender(
+            recommender.model, recommender.params, recommender.tokenizer,
+            recommender.item_dict, recommender.cache, {}, precision="fp4",
+        )

@@ -89,7 +89,28 @@ class LoRADense(nn.Module):
             nn.initializers.normal(stddev=0.02),
             (in_dim, self.features),
         )
-        y = jnp.dot(x, kernel.astype(self.dtype))
+        if self.has_variable("qweights", "kernel_q"):
+            # int8 W8A8 inference path (serving opt-in): pre-quantized int8
+            # weights ride the MXU's 2x int8 throughput; activations are
+            # quantized per row at trace time.  Provide the collection via
+            # quantize_qwen3_weights + apply({"params": p, "qweights": qw}).
+            kq = self.get_variable("qweights", "kernel_q")
+            ks = self.get_variable("qweights", "kernel_scale")  # [features]
+            x32 = x.astype(jnp.float32)
+            absmax = jnp.maximum(
+                jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-6
+            )
+            rs = absmax / 127.0
+            xq = jnp.clip(jnp.round(x32 / rs), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                xq, kq, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (
+                acc.astype(jnp.float32) * rs * ks.astype(jnp.float32)
+            ).astype(self.dtype)
+        else:
+            y = jnp.dot(x, kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(self.dtype)
@@ -417,3 +438,45 @@ def tp_shardings(params: Dict, mesh) -> Dict:
         ),
         params,
     )
+
+
+# int8 (W8A8) serving path ---------------------------------------------------
+
+_INT8_DENSE_NAMES = frozenset(
+    {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
+     "down_proj"}
+)
+
+
+def quantize_qwen3_weights(params: Dict) -> Dict:
+    """Param tree -> ``qweights`` collection for int8 inference.
+
+    Quantizes every Qwen3 projection kernel (q/k/v/o/gate/up/down — the
+    FLOP-dominant GEMMs) per output channel to int8; LoRA overlays, norms,
+    and embeddings stay at full precision.  Pass the result as a second
+    collection: ``model.apply({"params": p, "qweights": qw}, ...)`` —
+    LoRADense detects it and runs the int8 matmul (2x MXU throughput).
+    Inference-only: the int8 path has no meaningful gradients.
+    """
+    def walk(tree: Dict) -> Dict:
+        out = {}
+        for k, v in tree.items():
+            if not isinstance(v, dict):
+                continue
+            if (
+                k in _INT8_DENSE_NAMES
+                and "kernel" in v
+                and np.ndim(v["kernel"]) == 2
+            ):
+                w = jnp.asarray(v["kernel"], jnp.float32)
+                cmax = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8)
+                scale = cmax / 127.0
+                q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+                out[k] = {"kernel_q": q, "kernel_scale": scale}
+            else:
+                sub = walk(v)
+                if sub:
+                    out[k] = sub
+        return out
+
+    return walk(params.get("params", params))

@@ -47,7 +47,12 @@ class Recommender:
         catalog_embeddings: Dict[str, Sequence[float]],
         batch_size: int = 8,
         quantize_catalog: bool = False,
+        precision: str = "bf16",
     ):
+        """``precision="int8"`` runs the user-encoding Qwen3 forward with
+        int8 (W8A8) projection matmuls (models/qwen3.quantize_qwen3_weights)
+        — ~2x MXU throughput for the FLOP-dominant GEMMs.  Opt-in;
+        embedding quality deltas are measured in BASELINE.md."""
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
@@ -73,14 +78,42 @@ class Recommender:
         else:
             self._catalog_dev = jnp.asarray(self.catalog)
 
-        # user forward with L2 norm fused in (one less host round trip)
-        self._fwd = jax.jit(
-            lambda p, ids, m, he, hm: l2_normalize(
-                self.model.apply(
-                    {"params": p} if "params" not in p else p, ids, m, he, hm
+        if precision not in ("bf16", "int8"):
+            raise ValueError(f"precision must be bf16 or int8, got {precision!r}")
+        self.precision = precision
+        self._qweights = None
+        if precision == "int8":
+            from unirec_tpu.models.qwen3 import quantize_qwen3_weights
+
+            self._qweights = quantize_qwen3_weights(params)
+
+        # user forward with L2 norm fused in (one less host round trip).
+        # qweights ride as a jit ARGUMENT (a closure capture would bake the
+        # 0.6 GB int8 tree into the executable as constants).
+        if self._qweights is not None:
+            inner = jax.jit(
+                lambda p, qw, ids, m, he, hm: l2_normalize(
+                    self.model.apply(
+                        dict(
+                            ({"params": p} if "params" not in p else p),
+                            qweights=qw,
+                        ),
+                        ids, m, he, hm,
+                    )
                 )
             )
-        )
+            self._fwd = lambda p, ids, m, he, hm: inner(
+                p, self._qweights, ids, m, he, hm
+            )
+        else:
+            self._fwd = jax.jit(
+                lambda p, ids, m, he, hm: l2_normalize(
+                    self.model.apply(
+                        {"params": p} if "params" not in p else p,
+                        ids, m, he, hm,
+                    )
+                )
+            )
         # fragment-cached prompt tokenization (serving/prompt_cache.py):
         # exact by construction (self-verified) and ~free after warmup on
         # repeated titles — the measured host-side bottleneck of serving.
