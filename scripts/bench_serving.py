@@ -30,6 +30,8 @@ def main():
     p.add_argument("--catalog", type=int, default=20000)
     p.add_argument("--seq", type=int, default=512)
     p.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
+    p.add_argument("--prewarm", action="store_true",
+                   help="batch-tokenize all prompt fragments at startup")
     args = p.parse_args()
 
     from unirec_tpu.configs import (
@@ -81,6 +83,11 @@ def main():
 
     rec = Recommender(model, params, tok, item_dict, cache, catalog,
                       batch_size=args.batch, precision=args.precision)
+    if args.prewarm:
+        t0 = time.time()
+        n_frag = rec.prewarm_prompts()
+        print(f"prewarm: {n_frag} fragments in {time.time()-t0:.1f}s",
+              flush=True)
 
     # user histories: zipfian-ish sampling over the catalog (repeat-heavy,
     # like real traffic — exercises the fragment cache)

@@ -84,3 +84,33 @@ def test_self_check_disables_broken_fast_path():
     want_ids, _ = _slow(tok, ["a1"], n_hist, n_q, 32)
     got_ids, _ = enc.encode(["a1"], 32)
     np.testing.assert_array_equal(got_ids, want_ids)
+
+
+def test_prewarm_batch(monkeypatch):
+    n_hist, n_q = 3, 2
+    tok = HashTokenizer(1000, n_hist, n_q)
+    enc = CachedPromptEncoder(tok, ITEMS, n_hist, n_q)
+    n = enc.prewarm()
+    # the init self-check already cached a few fragments; prewarm fills the rest
+    assert 0 < n <= n_hist * len(ITEMS)
+    assert len(enc._frag_cache) == n_hist * len(ITEMS)
+    assert enc.prewarm() == 0  # idempotent
+    # no tokenizer calls after prewarm, and output still exact
+    want_ids, _ = _slow(tok, ["a1", "a3", "a4"], n_hist, n_q, 48)
+    calls = []
+    monkeypatch.setattr(tok, "encode_plain",
+                        lambda text: calls.append(text) or [1])
+    got_ids, _ = enc.encode(["a1", "a3", "a4"], 48)
+    assert calls == []
+    np.testing.assert_array_equal(got_ids, want_ids)
+
+
+def test_prewarm_disabled_noop():
+    class Broken(HashTokenizer):
+        def encode_plain(self, text):
+            return super().encode_plain(text.replace(" ", ""))
+
+    tok = Broken(1000, 2, 2)
+    enc = CachedPromptEncoder(tok, ITEMS, 2, 2)
+    assert not enc.enabled
+    assert enc.prewarm() == 0

@@ -60,6 +60,11 @@ class BaseTokenizer:
         per-item fragments."""
         return self._encode_text(text)
 
+    def encode_plain_batch(self, texts: Sequence[str]) -> List[List[int]]:
+        """Batched ``encode_plain`` (HF tokenizers batch in native code —
+        used by the prompt cache's prewarm)."""
+        return [self.encode_plain(t) for t in texts]
+
     def affix_ids(self) -> Tuple[List[int], List[int]]:
         """(prefix, suffix) ids the tokenizer adds around a full sequence."""
         return [], []
@@ -127,6 +132,9 @@ class HFTokenizer(BaseTokenizer):
 
     def encode_plain(self, text: str) -> List[int]:
         return self.tok(text, add_special_tokens=False)["input_ids"]
+
+    def encode_plain_batch(self, texts: Sequence[str]) -> List[List[int]]:
+        return self.tok(list(texts), add_special_tokens=False)["input_ids"]
 
     def affix_ids(self) -> Tuple[List[int], List[int]]:
         """Sequence affixes from the tokenizer's own template: ids added

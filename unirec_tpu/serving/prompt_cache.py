@@ -109,6 +109,38 @@ class CachedPromptEncoder:
         ids += self.suffix
         return ids
 
+    def prewarm(self, item_ids=None, slots=None) -> int:
+        """Batch-tokenize fragments ahead of traffic (cold-start removal).
+
+        ``item_ids`` defaults to the whole item dict; ``slots`` to every
+        history slot.  Uses the tokenizer's native batch path (HF tokenizes
+        batches in native code).  Returns the number of fragments cached.
+        Memory: ~a few dozen ints per (slot, item) — about 100 MB for a
+        112k-item catalog across 10 slots; pass ``slots=range(k)`` to cap.
+        """
+        if not self.enabled:
+            return 0
+        ids = list(item_ids) if item_ids is not None else list(self.item_dict)
+        slot_list = list(slots) if slots is not None else range(self.n_hist)
+        keys, texts = [], []
+        for slot in slot_list:
+            for iid in ids:
+                iid = str(iid)
+                if (slot, iid) in self._frag_cache:
+                    continue
+                title = _truncate_title(
+                    self.item_dict.get(iid, {}).get("title", f"Item {iid}")
+                )
+                keys.append((slot, iid))
+                texts.append(
+                    f"{_HEAD}1. {title} " if slot == 0
+                    else f", {slot + 1}. {title} "
+                )
+        if texts:
+            for key, ids_ in zip(keys, self.tok.encode_plain_batch(texts)):
+                self._frag_cache[key] = list(ids_)
+        return len(texts)
+
     # -- public API ----------------------------------------------------------
 
     def encode(

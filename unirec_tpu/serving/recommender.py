@@ -124,6 +124,11 @@ class Recommender:
             self.jc.num_query_tokens_per_item,
         )
 
+    def prewarm_prompts(self, item_ids=None, slots=None) -> int:
+        """Batch-tokenize prompt fragments ahead of traffic (removes the
+        cold-start tokenization cost; serving/prompt_cache.py)."""
+        return self._prompt.prewarm(item_ids, slots)
+
     # -- user encoding -----------------------------------------------------
 
     def _build_batch(self, histories: Sequence[Sequence[str]]):
