@@ -117,6 +117,12 @@ class QFormerConfig:
     # Inference-only bf16 softmax path (~20% faster on TPU for the tiny
     # per-item attention shapes); keep False for training / strict parity.
     fast_attention: bool = False
+    # Trainable streaming cross-attention (ops/flash_vjp.py): fwd AND bwd
+    # block over the memory axis, so long-history training memory is
+    # O(Lq * block) instead of O(Lq * Lkv).  Only takes effect when
+    # attention-prob dropout is inactive (the kernel's probs are
+    # deterministic); XLA path otherwise.
+    flash_training: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -183,6 +189,13 @@ class UserQFormerConfig:
     input_embedding_dim: int = 1024
     num_item_tokens_to_predict: int = 32
     dropout: float = 0.1
+    # layer-level remat: long-history training (seq*K memory vectors) is
+    # bound by the saved [B, H, 64, seq*K] attention probs — remat keeps one
+    # layer's worth instead of num_hidden_layers (BASELINE.md round 3)
+    gradient_checkpointing: bool = False
+    # trainable flash cross-attention (needs attention-prob dropout = 0 to
+    # engage; see QFormerConfig.flash_training)
+    flash_training: bool = False
 
     def qformer(self) -> QFormerConfig:
         return QFormerConfig(
@@ -196,6 +209,8 @@ class UserQFormerConfig:
             cross_attention_freq=1,
             encoder_width=self.input_embedding_dim,
             query_length=self.num_query_tokens,
+            gradient_checkpointing=self.gradient_checkpointing,
+            flash_training=self.flash_training,
         )
 
 

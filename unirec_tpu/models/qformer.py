@@ -157,15 +157,27 @@ class QFormerAttention(nn.Module):
         # (measured: 617 vs 577 ms at B=4096) — so the model keeps the XLA
         # path and the packed kernel stays available as a standalone op.
         if self.is_cross and not fast:
-            ctx = cross_attention(
-                q,
-                k,
-                v,
-                bias,
-                dropout_rate=drop_rate,
-                dropout_rng=rng,
-                deterministic=deterministic,
-            )
+            if cfg.flash_training and rng is None:
+                # trainable streaming kernel (ops/flash_vjp.py): the
+                # [B, H, Lq, Lkv] probs never exist in fwd OR bwd — the
+                # long-history memory wall (BASELINE.md round 3).  Requires
+                # deterministic attention probs (attention-prob dropout off);
+                # with dropout active we fall through to the XLA path.
+                from unirec_tpu.ops.flash_vjp import flash_cross_attention_vjp
+
+                ctx = flash_cross_attention_vjp(
+                    q, k, v, bias, 512, jax.default_backend() != "tpu"
+                )
+            else:
+                ctx = cross_attention(
+                    q,
+                    k,
+                    v,
+                    bias,
+                    dropout_rate=drop_rate,
+                    dropout_rng=rng,
+                    deterministic=deterministic,
+                )
         else:
             ctx = attention(
                 q,
