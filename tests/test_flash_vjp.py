@@ -180,3 +180,48 @@ def test_flash_training_with_dropout_falls_back():
     assert np.isfinite(float(val))
     for g in jax.tree_util.tree_leaves(grads):
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_proj_vjp_grads_match_xla():
+    """Projection-fused variant: grads wrt q, the SHARED memory, and the
+    k/v projection weights must match the XLA computation."""
+    from unirec_tpu.ops.flash_vjp import flash_cross_attention_proj_vjp
+    from unirec_tpu.ops.attention import split_heads
+
+    rng = np.random.RandomState(6)
+    b, h, lq, lkv, d = 2, 4, 8, 256, 64
+    # merged-head interface: q is [B, Lq, D]
+    q = jnp.asarray(rng.randn(b, lq, d).astype(np.float32))
+    mem = jnp.asarray(rng.randn(b, lkv, d).astype(np.float32))
+    wk = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.1)
+    bk = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    wv = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.1)
+    bv = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    mask = (rng.rand(b, lkv) > 0.3).astype(np.float32)
+    mask[:, 0] = 1.0
+    bias = make_additive_mask(jnp.asarray(mask))
+
+    def ref(q, mem, wk, bk, wv, bv):
+        qh = split_heads(q, h)
+        k = split_heads(mem @ wk + bk, h)
+        v = split_heads(mem @ wv + bv, h)
+        from unirec_tpu.ops.attention import merge_heads
+
+        return jnp.sum(merge_heads(attention(qh, k, v, bias)) ** 2)
+
+    def fl(q, mem, wk, bk, wv, bv):
+        return jnp.sum(
+            flash_cross_attention_proj_vjp(
+                q, mem, wk, bk, wv, bv, bias, h, 128, True
+            ) ** 2
+        )
+
+    args = (q, mem, wk, bk, wv, bv)
+    np.testing.assert_allclose(float(fl(*args)), float(ref(*args)), rtol=1e-5)
+    g_ref = jax.grad(ref, argnums=tuple(range(6)))(*args)
+    g_fl = jax.grad(fl, argnums=tuple(range(6)))(*args)
+    for a, r, name in zip(g_fl, g_ref, ["q", "mem", "wk", "bk", "wv", "bv"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=1e-4, rtol=2e-3,
+            err_msg=f"d{name}",
+        )

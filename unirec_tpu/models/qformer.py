@@ -138,11 +138,8 @@ class QFormerAttention(nn.Module):
         )
 
         src = kv_states if self.is_cross else hidden_states
-        q = split_heads(dense("query")(hidden_states), heads)
-        # Cross-attention K/V project from encoder_width
-        # (reference: models/qformer.py:128-133).
-        k = split_heads(dense("key")(src), heads)
-        v = split_heads(dense("value")(src), heads)
+        q_merged = dense("query")(hidden_states)
+        q = split_heads(q_merged, heads)
 
         drop_rate = cfg.attention_probs_dropout_prob
         rng = (
@@ -151,34 +148,53 @@ class QFormerAttention(nn.Module):
             else None
         )
         fast = cfg.fast_attention and deterministic
-        # Note: ops/packed_attention.py (item-packed MXU tiles) beats the XLA
-        # attention core 1.67x in isolation, but loses in-model because the
-        # pallas_call boundary breaks XLA's projection/softmax fusion
-        # (measured: 617 vs 577 ms at B=4096) — so the model keeps the XLA
-        # path and the packed kernel stays available as a standalone op.
-        if self.is_cross and not fast:
-            if cfg.flash_training and rng is None:
-                # trainable streaming kernel (ops/flash_vjp.py): the
-                # [B, H, Lq, Lkv] probs never exist in fwd OR bwd — the
-                # long-history memory wall (BASELINE.md round 3).  Requires
-                # deterministic attention probs (attention-prob dropout off);
-                # with dropout active we fall through to the XLA path.
-                from unirec_tpu.ops.flash_vjp import flash_cross_attention_vjp
+        if self.is_cross and cfg.flash_training and rng is None and not fast:
+            # trainable streaming kernel with the K/V projections INSIDE the
+            # custom vjp (ops/flash_vjp.flash_cross_attention_proj_vjp): the
+            # [B, H, Lq, Lkv] probs never exist in fwd OR bwd, and the fat
+            # residual is the SHARED memory tensor, not per-layer projected
+            # k/v (jax.checkpoint cannot recompute custom_vjp residuals —
+            # the plain-op variant measured +8 GB over HBM at seq 200).
+            # Requires deterministic attention probs (attention-prob dropout
+            # off); with dropout active we fall through to the XLA path.
+            from unirec_tpu.ops.flash_vjp import (
+                flash_cross_attention_proj_vjp,
+            )
 
-                ctx = flash_cross_attention_vjp(
-                    q, k, v, bias, 512, jax.default_backend() != "tpu"
-                )
-            else:
-                ctx = cross_attention(
-                    q,
-                    k,
-                    v,
-                    bias,
-                    dropout_rate=drop_rate,
-                    dropout_rng=rng,
-                    deterministic=deterministic,
-                )
+            dk_mod, dv_mod = dense("key"), dense("value")
+            dk_mod(src[:, :1, :])  # create params; output unused (DCE'd)
+            dv_mod(src[:, :1, :])
+            kp, vp = dk_mod.variables["params"], dv_mod.variables["params"]
+            # merged-head [B, L, D] in and out: the op splits heads as
+            # column ranges in-kernel (per-head [B,H,L,64] layouts pad the
+            # 64-wide trailing dim to 128 lanes = 2x HBM, measured)
+            ctx = flash_cross_attention_proj_vjp(
+                q_merged, src.astype(q_merged.dtype),
+                kp["kernel"], kp["bias"], vp["kernel"], vp["bias"], bias,
+                heads, 512, jax.default_backend() != "tpu",
+            )
+        elif self.is_cross and not fast:
+            # Cross-attention K/V project from encoder_width
+            # (reference: models/qformer.py:128-133).
+            k = split_heads(dense("key")(src), heads)
+            v = split_heads(dense("value")(src), heads)
+            ctx = cross_attention(
+                q,
+                k,
+                v,
+                bias,
+                dropout_rate=drop_rate,
+                dropout_rng=rng,
+                deterministic=deterministic,
+            )
         else:
+            # Note: ops/packed_attention.py (item-packed MXU tiles) beats the
+            # XLA attention core 1.67x in isolation, but loses in-model
+            # because the pallas_call boundary breaks XLA's projection/
+            # softmax fusion (measured: 617 vs 577 ms at B=4096) — the model
+            # keeps the XLA path; the packed kernel stays a standalone op.
+            k = split_heads(dense("key")(src), heads)
+            v = split_heads(dense("value")(src), heads)
             ctx = attention(
                 q,
                 k,
@@ -189,7 +205,9 @@ class QFormerAttention(nn.Module):
                 deterministic=deterministic,
                 fast=fast,
             )
-        ctx = merge_heads(ctx)
+        # the proj-fused flash op already returns merged heads [B, L, D]
+        if ctx.ndim == 4:
+            ctx = merge_heads(ctx)
 
         out = nn.Dense(
             cfg.hidden_size, kernel_init=init, name="output_dense", dtype=self.dtype

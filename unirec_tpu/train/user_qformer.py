@@ -118,12 +118,18 @@ class UserQFormerTrainer:
 
     def _make_step(self):
         user_model, seq_model = self.user_model, self.seq_model
+        seq_apply = seq_model.apply
+        if self.user_config.gradient_checkpointing:
+            # long-history mode: the sequence assembly holds several
+            # [B, seq*K, D] intermediates (flatten/PE/context broadcast) —
+            # remat them alongside the Q-Former layers (BASELINE.md round 3)
+            seq_apply = jax.checkpoint(seq_model.apply)
 
         def step(state: TrainState, batch):
             rng = jax.random.fold_in(jax.random.PRNGKey(2), state.step)
 
             def loss_fn(params):
-                flat, flat_mask = seq_model.apply(
+                flat, flat_mask = seq_apply(
                     {"params": params["sequence"]},
                     batch["item_tokens"],
                     batch["timestamps"],
