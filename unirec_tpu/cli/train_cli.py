@@ -72,6 +72,13 @@ def main(argv=None) -> int:
     sp.add_argument("--max-seq-len", type=int, default=50)
     sp.add_argument("--bf16", action="store_true",
                     help="bf16 activations (fp32 params)")
+    sp.add_argument("--remat", action="store_true",
+                    help="layer + sequence-assembly remat: required for "
+                    "long histories (seq 200 OOMs without; BASELINE.md)")
+    sp.add_argument("--flash", action="store_true",
+                    help="trainable flash cross-attention (needs attention "
+                    "dropout 0 to engage; 1.34x + memory-flat at seq 200, "
+                    "BASELINE.md). Sets dropout 0.")
     _common_train_flags(sp, 64, 50, 5e-5)
 
     sp = sub.add_parser("joint")
@@ -253,8 +260,18 @@ def _dispatch(args) -> int:
             mesh=MeshConfig(dp=args.dp, tp=args.tp),
         )
         model = ItemQFormer(inf.config)
+        from unirec_tpu.configs import UserQFormerConfig
+
+        uc = UserQFormerConfig(
+            num_item_tokens_to_predict=inf.config.num_query_tokens,
+            input_embedding_dim=inf.config.hidden_size,
+            gradient_checkpointing=getattr(args, "remat", False),
+            flash_training=getattr(args, "flash", False),
+            dropout=0.0 if getattr(args, "flash", False) else 0.1,
+        )
         _, metrics = train_user_qformer(
             cache, histories, reviews, model, inf.params,
+            user_config=uc,
             train_config=tc, max_seq_len=args.max_seq_len,
             checkpoint_dir=args.checkpoint_dir,
             dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
