@@ -225,3 +225,30 @@ def test_proj_vjp_grads_match_xla():
             np.asarray(a), np.asarray(r), atol=1e-4, rtol=2e-3,
             err_msg=f"d{name}",
         )
+
+
+def test_fully_masked_row_with_kv_padding_matches_xla():
+    """lkv NOT a block multiple + a fully-masked row: the padded phantom
+    keys must get exactly zero weight (they'd share the uniform -1e9 mass
+    otherwise — code-review r3 finding)."""
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.randn(2, 2, 8, HD).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 2, 200, HD).astype(np.float32))  # pads to 256
+    v = jnp.asarray(rng.randn(2, 2, 200, HD).astype(np.float32))
+    mask = np.ones((2, 200), np.float32)
+    mask[1, :] = 0.0  # second batch row: everything masked
+    bias = make_additive_mask(jnp.asarray(mask))
+    out = flash_cross_attention_vjp(q, k, v, bias, 128, True)
+    ref = attention(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5,
+                               rtol=1e-4)
+    g_fl = jax.grad(
+        lambda a, b2, c: jnp.sum(
+            flash_cross_attention_vjp(a, b2, c, bias, 128, True) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(
+        lambda a, b2, c: jnp.sum(attention(a, b2, c, bias) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, r in zip(g_fl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-5,
+                                   rtol=1e-3)

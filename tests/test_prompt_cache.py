@@ -114,3 +114,31 @@ def test_prewarm_disabled_noop():
     enc = CachedPromptEncoder(tok, ITEMS, 2, 2)
     assert not enc.enabled
     assert enc.prewarm() == 0
+
+
+def test_overlength_history_same_on_fast_and_fallback_paths():
+    """Both paths must keep the LAST n_hist items (the serving contract) —
+    the fallback used to keep the first (code-review r3 finding)."""
+    n_hist, n_q = 2, 2
+    history = ["a1", "a2", "a3", "a4"]  # longer than n_hist
+
+    tok = HashTokenizer(1000, n_hist, n_q)
+    fast = CachedPromptEncoder(tok, ITEMS, n_hist, n_q)
+    assert fast.enabled
+
+    class Broken(HashTokenizer):
+        def encode_plain(self, text):
+            return super().encode_plain(text.replace(" ", ""))
+
+    slow = CachedPromptEncoder(Broken(1000, n_hist, n_q), ITEMS, n_hist, n_q)
+    assert not slow.enabled
+
+    ids_fast, _ = fast.encode(history, 32)
+    ids_slow, _ = slow.encode(history, 32)
+    # both must equal the canonical last-n_hist encoding by their own tok
+    want_fast, _ = _slow(tok, history, n_hist, n_q, 32)
+    np.testing.assert_array_equal(ids_fast, want_fast)
+    # the slow path's own tokenizer differs, but it must ALSO use the last
+    # n_hist items: encoding the pre-trimmed history must be identical
+    ids_slow_trim, _ = slow.encode(history[-n_hist:], 32)
+    np.testing.assert_array_equal(ids_slow, ids_slow_trim)

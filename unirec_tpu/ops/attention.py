@@ -248,7 +248,10 @@ def flash_cross_attention(
     if kv_pad:
         k = _pad_to(k, 2, block_kv)
         v = _pad_to(v, 2, block_kv)
-        pad_bias = jnp.full((b, 1, 1, kv_pad), NEG_INF, dtype=jnp.float32)
+        # 2*NEG_INF: padded keys must underflow to exactly zero weight even
+        # on FULLY-masked rows (whose real keys sit at -1e9 and would share
+        # mass with a -1e9 pad)
+        pad_bias = jnp.full((b, 1, 1, kv_pad), 2.0 * NEG_INF, dtype=jnp.float32)
         if bias is None:
             bias = jnp.concatenate(
                 [jnp.zeros((b, 1, 1, lkv), jnp.float32), pad_bias], axis=-1

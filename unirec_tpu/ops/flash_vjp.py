@@ -187,7 +187,10 @@ def _prep(q, k, v, bias, block_kv):
     block_kv = min(block_kv, max(_LANE, ((lkv + _LANE - 1) // _LANE) * _LANE))
     kv_pad = (-lkv) % block_kv
     if kv_pad or bias is None:
-        pad_bias = jnp.full((b, 1, 1, kv_pad), NEG_INF, jnp.float32)
+        # 2*NEG_INF: padded keys must underflow to exactly zero weight even
+        # on FULLY-masked rows, where the real keys already sit at -1e9 and
+        # a -1e9 pad would join their uniform distribution (code-review r3)
+        pad_bias = jnp.full((b, 1, 1, kv_pad), 2.0 * NEG_INF, jnp.float32)
         base = (
             bias.astype(jnp.float32)
             if bias is not None
@@ -494,7 +497,8 @@ def _mh_prep(q, mem_k, mem_v, bias, block_kv):
     block = _pick_block(lkv, block_kv)
     kv_pad = (-lkv) % block
     if kv_pad or bias is None:
-        pad_bias = jnp.full((b, 1, kv_pad), NEG_INF, jnp.float32)
+        # 2*NEG_INF: see _prep — padded keys must vanish on fully-masked rows
+        pad_bias = jnp.full((b, 1, kv_pad), 2.0 * NEG_INF, jnp.float32)
         base = (
             bias.reshape(b, 1, lkv).astype(jnp.float32)
             if bias is not None

@@ -146,11 +146,19 @@ class CachedPromptEncoder:
     def encode(
         self, history: Sequence[str], max_length: int
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """(ids, mask) for one user history, fixed length ``max_length``."""
+        """(ids, mask) for one user history, fixed length ``max_length``.
+
+        Histories longer than ``num_history_items`` keep the LAST items (the
+        serving contract, matching Recommender._build_batch) on BOTH the
+        fast and the fallback path.
+        """
         if not self.enabled:
+            # same truncation as the fast path (and Recommender._build_batch):
+            # keep the LAST n_hist items — construct_input_text alone would
+            # keep the first
             text = construct_input_text(
-                [str(h) for h in history], self.item_dict, self.n_hist,
-                self.n_q,
+                [str(h) for h in history][-self.n_hist :], self.item_dict,
+                self.n_hist, self.n_q,
             )
             return self.tok.encode(text, max_length)
         ids = self._assemble(history)[:max_length]
@@ -170,6 +178,8 @@ class CachedPromptEncoder:
         sample_ids = list(self.item_dict)[:3]
         cases: List[List[str]] = [[], sample_ids[:1], sample_ids]
         for history in cases:
+            # the serving contract keeps the LAST n_hist items on every path
+            history = history[-self.n_hist :]
             text = construct_input_text(
                 history, self.item_dict, self.n_hist, self.n_q
             )

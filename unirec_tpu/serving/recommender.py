@@ -148,15 +148,24 @@ class Recommender:
             input_ids[i], attn[i] = self._prompt.encode(history, jc.max_length)
         return input_ids, attn, hist_emb, hist_mask
 
+    # batches allowed in flight on the device before the oldest result is
+    # drained: overlaps host assembly with device compute without letting a
+    # bulk encode_users call accumulate unbounded device buffers (each batch
+    # pins its inputs + output in HBM until fetched)
+    MAX_IN_FLIGHT = 8
+
     def encode_users(self, histories: Sequence[Sequence[str]]) -> np.ndarray:
         """[num_users, D] L2-normalized user embeddings; fixed-shape batches.
 
-        All batches are dispatched before any result is fetched: jax dispatch
-        is async, so host assembly of batch N+1 overlaps device compute of
-        batch N, and the (expensive over the axon tunnel) device->host sync
-        happens once at the end instead of once per batch.
+        Dispatch is pipelined: host assembly of batch N+1 overlaps device
+        compute of batch N (jax dispatch is async), with at most
+        ``MAX_IN_FLIGHT`` un-fetched batches on the device — bounded HBM for
+        arbitrarily large offline sweeps, no per-batch sync for small ones.
         """
-        pending = []
+        from collections import deque
+
+        out: List[np.ndarray] = []
+        pending: deque = deque()
         bs = self.batch_size
         for i in range(0, len(histories), bs):
             chunk = list(histories[i : i + bs])
@@ -169,9 +178,13 @@ class Recommender:
                 jnp.asarray(he), jnp.asarray(hm),
             )
             pending.append((emb, n))
-        return np.concatenate(
-            [np.asarray(emb, np.float32)[:n] for emb, n in pending], axis=0
-        )
+            if len(pending) >= self.MAX_IN_FLIGHT:
+                emb0, n0 = pending.popleft()
+                out.append(np.asarray(emb0, np.float32)[:n0])
+        while pending:
+            emb0, n0 = pending.popleft()
+            out.append(np.asarray(emb0, np.float32)[:n0])
+        return np.concatenate(out, axis=0)
 
     # -- ranking -----------------------------------------------------------
 

@@ -161,7 +161,10 @@ def drive_steps(
         if step_hook is not None:
             floats = drain_one()
             state = step_hook(step_index, state, floats) or state
-        elif len(queue) > max_in_flight:
+        elif len(queue) >= max_in_flight:
+            # drain at the bound (>=, not >): with `>` the queue reached
+            # max_in_flight+1 dispatched steps before the first drain,
+            # holding one extra staged batch in HBM (code-review r3)
             drain_one()
         step_index += 1
     while queue:
