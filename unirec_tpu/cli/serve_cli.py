@@ -33,6 +33,10 @@ def parse_args(argv=None):
     p.add_argument("--max-length", type=int, default=512)
     p.add_argument("--quantize", action="store_true",
                    help="int8-quantize the catalog")
+    p.add_argument("--precision", default="bf16", choices=["bf16", "int8"],
+                   help="int8: W8A8 Qwen3 projections for user encoding")
+    p.add_argument("--prewarm", action="store_true",
+                   help="batch-tokenize all prompt fragments at startup")
     p.add_argument("--tiny", action="store_true",
                    help="tiny Qwen3 config (smoke tests / CPU)")
     return p.parse_args(argv)
@@ -122,10 +126,15 @@ def build_recommender(args):
             params["params"]["qformer"], qf_params
         )
 
-    return Recommender(
+    rec = Recommender(
         model, params, tokenizer, item_dict, cache, catalog,
         batch_size=args.batch_size, quantize_catalog=args.quantize,
+        precision=args.precision,
     )
+    if args.prewarm:
+        n = rec.prewarm_prompts()
+        print(f"prewarmed {n} prompt fragments")
+    return rec
 
 
 def main(argv=None) -> int:
