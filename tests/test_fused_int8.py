@@ -144,3 +144,43 @@ def test_int8_dp_sharded_sweep(setup, eight_devices):
     meshed = QFormerInference(**common, batch_size=16, mesh=mesh)
     out_m = meshed.query_tokens_from_embeddings(fields, mask)
     np.testing.assert_allclose(out_m, out_s, atol=1e-2, rtol=1e-2)
+
+
+def test_item_train_step_int8_reference_forwards():
+    """fused_precision="int8": pos/neg triplet targets on the W8A8 kernels;
+    training must stay close to the XLA step (targets differ only by int8
+    noise)."""
+    from unirec_tpu.configs import MeshConfig, OptimizerConfig, TrainConfig
+    from unirec_tpu.train.item_qformer import ItemQFormerTrainer
+
+    cfg = ItemQFormerConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, num_query_tokens=8, field_embedding_dim=32,
+        num_fields=4, dropout=0.0,
+    )
+    tc = TrainConfig(batch_size=8, optimizer=OptimizerConfig(),
+                     mesh=MeshConfig(dp=1, tp=1))
+    rng = np.random.RandomState(0)
+    mk = lambda: (  # noqa: E731
+        jnp.asarray(rng.randn(8, 4, 32).astype(np.float32)),
+        jnp.ones((8, 4), jnp.float32),
+    )
+    ae, am = mk(); pe, pm = mk(); ne, nm = mk()
+    batch = {"anchor_emb": ae, "anchor_mask": am, "pos_emb": pe,
+             "pos_mask": pm, "neg_emb": ne, "neg_mask": nm}
+
+    losses = {}
+    for mode, prec in (("xla", "bf16"), ("int8", "int8")):
+        tr = ItemQFormerTrainer(
+            cfg, tc, dtype="bfloat16",
+            fused_reference_forwards=(mode == "int8"),
+            fused_precision=prec,
+        )
+        state = tr.init_state(seed=0)
+        state, m = tr._train_step(state, batch)
+        losses[mode] = float(m["loss"])
+        assert np.isfinite(losses[mode])
+    # triplet targets differ only by int8 quantization noise
+    assert abs(losses["int8"] - losses["xla"]) / abs(losses["xla"]) < 0.02, (
+        losses
+    )

@@ -62,6 +62,10 @@ def main(argv=None) -> int:
     sp.add_argument("--bf16", action="store_true",
                     help="bf16 activations (fp32 params); default fp32 for "
                          "strict reference parity")
+    sp.add_argument("--int8-ref", action="store_true",
+                    help="run the no-gradient pos/neg reference forwards on "
+                    "the int8 W8A8 kernels (+6%% step throughput; targets "
+                    "differ only by quantization noise — BASELINE.md)")
     _common_train_flags(sp, 4096, 500, 1e-4)
 
     sp = sub.add_parser("user-qformer")
@@ -232,6 +236,8 @@ def _dispatch(args) -> int:
             checkpoint_dir=args.checkpoint_dir,
             contrastive_weight=args.contrastive_weight,
             dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
+            fused_precision="int8" if getattr(args, "int8_ref", False)
+            else "bf16",
         )
         print(json.dumps(metrics, indent=2))
         return 0

@@ -79,12 +79,16 @@ def make_train_step(
     contrastive_weight: float = 0.25,
     margin: float = 0.5,
     fused_reference_config=None,
+    fused_precision: str = "bf16",
 ):
     """One jitted step. ``fused_reference_config``: when set (an
     ItemQFormerConfig), the no-gradient positive/negative forwards run
-    through the fused Pallas inference engine in bf16 — they only feed the
+    through the fused Pallas inference engine — they only feed the
     triplet targets, so inference-precision is appropriate and 2 of the
-    step's 3 forwards move to the fast path (TPU only)."""
+    step's 3 forwards move to the fast path (TPU only).
+    ``fused_precision="int8"`` additionally runs them on the W8A8 kernels
+    (weights re-quantized in-graph each step — a few VPU passes over 110M
+    params, negligible next to the forwards they accelerate)."""
 
     def fused_ref_representation(params, emb, mask):
         from unirec_tpu.inference.fused_qformer import (
@@ -94,7 +98,8 @@ def make_train_step(
 
         frozen = jax.lax.stop_gradient(params)
         fp = prepare_fused_params(
-            {"params": frozen}, fused_reference_config, dtype=jnp.bfloat16
+            {"params": frozen}, fused_reference_config, dtype=jnp.bfloat16,
+            precision=fused_precision,
         )
         q = fused_qformer_forward(
             fp, fused_reference_config, emb, mask,
@@ -197,6 +202,10 @@ class ItemQFormerTrainer:
     # end-to-end; pass True to opt in explicitly). pallas_call does not
     # partition under GSPMD, so dp>1 meshes stay on the XLA path.
     fused_reference_forwards: Optional[bool] = None
+    # "bf16" (default) or "int8": precision of the fused pos/neg reference
+    # forwards (they only produce stop-gradient triplet targets; int8 runs
+    # the W8A8 kernels with in-graph weight re-quantization)
+    fused_precision: str = "bf16"
 
     def __post_init__(self):
         compute_dtype = (
@@ -220,6 +229,7 @@ class ItemQFormerTrainer:
         step = make_train_step(
             self.model, self.reconstruction_weight, self.contrastive_weight,
             fused_reference_config=self.model_config if use_fused else None,
+            fused_precision=self.fused_precision,
         )
         self._train_step = data_parallel_jit(step, self.mesh)
         self._eval_step = make_eval_step(self.model)
@@ -313,6 +323,7 @@ def train_item_qformer(
     checkpoint_dir: Optional[str] = None,
     contrastive_weight: float = 0.25,
     dtype: str = "float32",
+    fused_precision: str = "bf16",
     log_fn=print,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Full training driver (reference: train_qformer,
@@ -323,7 +334,7 @@ def train_item_qformer(
     train_config = train_config or TrainConfig()
     trainer = ItemQFormerTrainer(
         model_config, train_config, contrastive_weight=contrastive_weight,
-        dtype=dtype,
+        dtype=dtype, fused_precision=fused_precision,
     )
     state = trainer.init_state()
     pairs = build_triplet_pairs(item_sequences, cache.id_to_row)
