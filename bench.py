@@ -99,6 +99,7 @@ def main() -> None:
                 "metric": "item_query_tokens_per_sec_per_chip",
                 "value": round(items_per_sec, 1),
                 "unit": "items/s",
+                "precision": precision,
                 "vs_baseline": round(items_per_sec / REFERENCE_ITEMS_PER_SEC, 2),
             }
         )

@@ -252,3 +252,62 @@ def test_fully_masked_row_with_kv_padding_matches_xla():
     for a, r in zip(g_fl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=5e-5,
                                    rtol=1e-3)
+
+def test_pick_block_always_8_aligned():
+    """Mosaic requires 8-sublane-aligned second-minor block sizes; _pick_block
+    must never return a non-multiple-of-8 divisor (ADVICE r1: Lkv=150 used to
+    return block 150)."""
+    from unirec_tpu.ops.flash_vjp import _pick_block
+
+    for lkv in [8, 64, 128, 150, 152, 200, 255, 256, 300, 1000, 6400]:
+        for want in [128, 150, 256, 512]:
+            blk = _pick_block(lkv, want)
+            assert blk % 8 == 0, (lkv, want, blk)
+            assert blk >= 8
+    # no-pad divisors still preferred when 8-aligned
+    assert _pick_block(256, 256) == 256
+    assert _pick_block(6400, 256) == 256
+    # non-aligned lkv falls back to a single ceil8 block, not `want`
+    assert _pick_block(150, 512) == 152
+
+
+def test_merged_head_non_aligned_lkv_matches_xla():
+    """Merged-head path with Lkv=150 (not a multiple of 8): forward + grads
+    must still match XLA through the pad-block fallback."""
+    from unirec_tpu.ops.flash_vjp import flash_cross_attention_proj_vjp
+    from unirec_tpu.ops.attention import split_heads, merge_heads
+
+    rng = np.random.RandomState(11)
+    b, h, lq, lkv, d = 2, 4, 8, 150, 64
+    q = jnp.asarray(rng.randn(b, lq, d).astype(np.float32))
+    mem = jnp.asarray(rng.randn(b, lkv, d).astype(np.float32))
+    wk = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.1)
+    bk = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    wv = jnp.asarray(rng.randn(d, d).astype(np.float32) * 0.1)
+    bv = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    mask = (rng.rand(b, lkv) > 0.3).astype(np.float32)
+    mask[:, 0] = 1.0
+    bias = make_additive_mask(jnp.asarray(mask))
+
+    def ref(q, mem, wk, bk, wv, bv):
+        qh = split_heads(q, h)
+        k = split_heads(mem @ wk + bk, h)
+        v = split_heads(mem @ wv + bv, h)
+        return jnp.sum(merge_heads(attention(qh, k, v, bias)) ** 2)
+
+    def fl(q, mem, wk, bk, wv, bv):
+        return jnp.sum(
+            flash_cross_attention_proj_vjp(
+                q, mem, wk, bk, wv, bv, bias, h, 256, True
+            ) ** 2
+        )
+
+    args = (q, mem, wk, bk, wv, bv)
+    np.testing.assert_allclose(float(fl(*args)), float(ref(*args)), rtol=1e-5)
+    g_ref = jax.grad(ref, argnums=tuple(range(6)))(*args)
+    g_fl = jax.grad(fl, argnums=tuple(range(6)))(*args)
+    for a, r, name in zip(g_fl, g_ref, ["q", "mem", "wk", "bk", "wv", "bv"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=1e-4, rtol=2e-3,
+            err_msg=f"d{name}",
+        )

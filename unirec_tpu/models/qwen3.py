@@ -14,7 +14,7 @@ TPU-first design choices:
 * LoRA lives in the same param tree as ``lora_a``/``lora_b`` leaves wrapping
   the frozen base kernels (reference LoRA config r=16, alpha=32, on
   q/k/v/o/gate/up/down — :721-731); trainability is decided at the optimizer
-  by path filtering (unirec_tpu/train/lora.py);
+  by path filtering (utils/params.lora_trainable_mask);
 * tensor parallelism is applied from outside via ``tp_shardings`` — a
   PartitionSpec tree matched by parameter path (attention heads and MLP
   hidden sharded over the ``tp`` mesh axis); under jit, GSPMD propagates the

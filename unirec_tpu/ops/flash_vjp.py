@@ -346,12 +346,17 @@ flash_cross_attention_vjp.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def _pick_block(lkv: int, want: int) -> int:
-    """Largest lane-multiple block <= want that DIVIDES lkv (no pad copy);
-    falls back to `want` (callers pad) if no divisor exists."""
+    """Largest 8-sublane-aligned block <= want that DIVIDES lkv (no pad
+    copy); falls back to `want` (callers pad) if no aligned divisor exists.
+    Mosaic rejects (or may miscompile) second-minor block sizes that are not
+    multiples of 8, so non-aligned divisors (e.g. Lkv=150 -> 150) are never
+    returned even when they would avoid the pad."""
     for blk in range(min(want, lkv), _LANE - 1, -_LANE):
-        if lkv % blk == 0:
+        if blk % 8 == 0 and lkv % blk == 0:
             return blk
-    return want
+    # pad path: a single block of ceil8(lkv) beats padding all the way to
+    # `want` when lkv < want (e.g. Lkv=150 -> block 152, not 512)
+    return min(((want + 7) // 8) * 8, ((lkv + 7) // 8) * 8)
 
 
 def _mh_fwd_kernel(

@@ -176,7 +176,39 @@ class CachedPromptEncoder:
         path otherwise — e.g. a tokenizer whose added tokens strip
         neighboring whitespace."""
         sample_ids = list(self.item_dict)[:3]
-        cases: List[List[str]] = [[], sample_ids[:1], sample_ids]
+        # synthetic items exercise paths short catalog titles may not: the
+        # 77-char '...' truncation, trailing punctuation/whitespace next to
+        # a special token, and non-ASCII text (ADVICE r1)
+        synthetic = {
+            "__selfcheck_long__": {
+                "title": "Ultra Hydrating Vitamin-C Brightening Facial "
+                "Serum with Hyaluronic Acid, Niacinamide and Botanical "
+                "Extracts, 2 Fl Oz"
+            },
+            "__selfcheck_punct__": {"title": "Lip balm (cherry), tube.  "},
+            "__selfcheck_unicode__": {"title": "Crème brûlée café — 10 µl"},
+        }
+        assert len(synthetic["__selfcheck_long__"]["title"]) > 80
+        self.item_dict.update(synthetic)
+        try:
+            cases: List[List[str]] = [
+                [],
+                sample_ids[:1],
+                sample_ids,
+                list(synthetic),
+                (sample_ids[:1] + list(synthetic)),
+            ]
+            return self._run_check_cases(cases)
+        finally:
+            for key in synthetic:
+                self.item_dict.pop(key, None)
+            self._frag_cache = {
+                k: v
+                for k, v in self._frag_cache.items()
+                if k[1] not in synthetic
+            }
+
+    def _run_check_cases(self, cases: List[List[str]]) -> bool:
         for history in cases:
             # the serving contract keeps the LAST n_hist items on every path
             history = history[-self.n_hist :]

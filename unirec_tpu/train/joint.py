@@ -279,6 +279,13 @@ class JointTrainer:
     bf16_base: bool = False
 
     def __post_init__(self):
+        if self.bf16_base and self.dtype != "bfloat16":
+            # mirror the CLI guard: under an fp32 compute path a bf16 frozen
+            # base would silently degrade the strict-parity numerics
+            raise ValueError(
+                "bf16_base requires dtype='bfloat16' (fp32 compute exists "
+                "for strict parity; a bf16 frozen base would break it)"
+            )
         policy = None
         if self.remat_policy == "dots":
             policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
