@@ -64,7 +64,9 @@ class UserQFormer(nn.Module):
             cfg.hidden_size, kernel_init=init, name="head_dense1", dtype=self.dtype
         )(user_representation)
         h = nn.gelu(h, approximate=False)
-        h = nn.LayerNorm(name="head_norm", dtype=self.dtype)(h)
+        # torch nn.LayerNorm default eps 1e-5 (reference prediction head,
+        # user_qformer_training.py:38-43) — flax defaults to 1e-6
+        h = nn.LayerNorm(epsilon=1e-5, name="head_norm", dtype=self.dtype)(h)
         flat = nn.Dense(
             cfg.num_item_tokens_to_predict * cfg.input_embedding_dim,
             kernel_init=init,

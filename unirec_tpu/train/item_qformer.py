@@ -80,6 +80,7 @@ def make_train_step(
     margin: float = 0.5,
     fused_reference_config=None,
     fused_precision: str = "bf16",
+    return_grads: bool = False,
 ):
     """One jitted step. ``fused_reference_config``: when set (an
     ItemQFormerConfig), the no-gradient positive/negative forwards run
@@ -158,6 +159,8 @@ def make_train_step(
         )(state.params)
         state = state.apply_gradients(grads=grads)
         metrics = {"loss": total, "recon": recon, "contrastive": cont}
+        if return_grads:  # parity-test instrumentation
+            metrics["grads"] = grads
         return state, metrics
 
     return step

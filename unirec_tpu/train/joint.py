@@ -209,7 +209,11 @@ class JointDataset:
         }
 
 
-def make_joint_train_step(model: MultiModalQwenEmbedding, temperature: float = 0.07):
+def make_joint_train_step(
+    model: MultiModalQwenEmbedding,
+    temperature: float = 0.07,
+    return_grads: bool = False,
+):
     def step(state: TrainState, batch):
         rng = jax.random.fold_in(jax.random.PRNGKey(1), state.step)
 
@@ -243,7 +247,10 @@ def make_joint_train_step(model: MultiModalQwenEmbedding, temperature: float = 0
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = state.apply_gradients(grads=grads)
-        return state, {"loss": loss}
+        metrics = {"loss": loss}
+        if return_grads:  # parity-test instrumentation
+            metrics["grads"] = grads
+        return state, metrics
 
     return step
 

@@ -103,6 +103,13 @@ class UserQFormerTrainer:
     # "float32" (strict parity) or "bfloat16" (mixed precision: bf16
     # activations on the MXU, fp32 params/optimizer)
     dtype: str = "float32"
+    # True (default) jointly trains the timestamp/geo context encoders —
+    # an extension over the reference, which encodes context with FROZEN
+    # MWNE-style encoders inside the dataloader collate and optimizes only
+    # the UserQFormer (user_qformer_training.py:191-194, detached inputs).
+    # False reproduces the reference semantics exactly (used by the
+    # training-step parity suite).
+    train_context: bool = True
 
     def __post_init__(self):
         compute_dtype = (
@@ -116,8 +123,9 @@ class UserQFormerTrainer:
         self.dp_size = self.mesh.shape["dp"]
         self._train_step = data_parallel_jit(self._make_step(), self.mesh)
 
-    def _make_step(self):
+    def _make_step(self, return_grads: bool = False):
         user_model, seq_model = self.user_model, self.seq_model
+        train_context = self.train_context
         seq_apply = seq_model.apply
         if self.user_config.gradient_checkpointing:
             # long-history mode: the sequence assembly holds several
@@ -129,8 +137,11 @@ class UserQFormerTrainer:
             rng = jax.random.fold_in(jax.random.PRNGKey(2), state.step)
 
             def loss_fn(params):
+                seq_params = params["sequence"]
+                if not train_context:
+                    seq_params = jax.lax.stop_gradient(seq_params)
                 flat, flat_mask = seq_apply(
-                    {"params": params["sequence"]},
+                    {"params": seq_params},
                     batch["item_tokens"],
                     batch["timestamps"],
                     batch["coordinates"],
@@ -147,7 +158,10 @@ class UserQFormerTrainer:
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             state = state.apply_gradients(grads=grads)
-            return state, {"loss": loss}
+            metrics = {"loss": loss}
+            if return_grads:  # parity-test instrumentation
+                metrics["grads"] = grads
+            return state, metrics
 
         return step
 
@@ -170,6 +184,19 @@ class UserQFormerTrainer:
         )["params"]
         params = {"sequence": seq_params, "user": user_params}
         tx = make_optimizer(self.train_config.optimizer)
+        if not self.train_context:
+            # frozen context encoders must not even receive weight decay
+            # (reference: only UserQFormer params reach AdamW,
+            # user_qformer_training.py:194)
+            import optax
+
+            labels = {
+                "sequence": jax.tree_util.tree_map(lambda _: "freeze", seq_params),
+                "user": jax.tree_util.tree_map(lambda _: "train", user_params),
+            }
+            tx = optax.multi_transform(
+                {"train": tx, "freeze": optax.set_to_zero()}, labels
+            )
         state = TrainState.create(
             apply_fn=self.user_model.apply, params=params, tx=tx
         )

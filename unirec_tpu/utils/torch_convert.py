@@ -228,3 +228,57 @@ def load_reference_item_qformer_checkpoint(path: str):
     )
     params = convert_item_qformer(ckpt["model_state_dict"], cfg)
     return cfg, {"params": params}, field_names
+
+
+def convert_joint_model(
+    sd: Mapping[str, Any], qwen_config, qformer_config: ItemQFormerConfig
+) -> Dict[str, Any]:
+    """Reference ``MultiModalQwenEmbedding`` state_dict -> flax joint params.
+
+    Handles the PEFT-wrapped layout the reference saves
+    (train_item_individual_token_joint.py:88-132, 183-200): the Q-Former
+    under ``qformer_model.*``; the LoRA-wrapped Qwen3 under
+    ``base_model.base_model.model.*`` with linear weights at
+    ``<proj>.base_layer.weight`` and adapters at
+    ``<proj>.lora_A.default.weight`` / ``lora_B.default.weight``.  The
+    resized embedding table (vocab + 20 special rows, :118-119) splits into
+    ``embed_tokens`` + ``extra_embed_tokens``.  Also accepts un-wrapped
+    (no-LoRA / bare) layouts.
+    """
+    qwen_sd: Dict[str, Any] = {}
+    lora_sd: Dict[str, Any] = {}
+    qformer_sd: Dict[str, Any] = {}
+    for key, value in sd.items():
+        if key.startswith("qformer_model."):
+            qformer_sd[key[len("qformer_model."):]] = value
+            continue
+        k = key
+        while k.startswith("base_model."):
+            k = k[len("base_model."):]
+        if k.startswith("model."):
+            k = k[len("model."):]
+        if ".lora_A." in k or ".lora_B." in k:
+            lora_sd[k] = value
+        else:
+            qwen_sd[k.replace(".base_layer.", ".")] = value
+
+    base = convert_qwen3(qwen_sd, qwen_config.num_hidden_layers)
+    vocab = qwen_config.vocab_size
+    full_embed = base["embed_tokens"]
+    if full_embed.shape[0] > vocab:
+        base["embed_tokens"] = full_embed[:vocab]
+        base["extra_embed_tokens"] = full_embed[vocab:]
+    for k, v in lora_sd.items():
+        # layers.{i}.(self_attn|mlp).{proj}.lora_[AB][.default].weight
+        parts = k.split(".")
+        dest = base[f"layers_{int(parts[1])}"][parts[2]][parts[3]]
+        if parts[4] == "lora_A":
+            dest["lora_a"] = _np(v).T
+        elif parts[4] == "lora_B":
+            dest["lora_b"] = _np(v).T
+        else:  # pragma: no cover
+            raise KeyError(f"unrecognized LoRA key {k}")
+    return {
+        "base_model": base,
+        "qformer": convert_item_qformer(qformer_sd, qformer_config),
+    }
