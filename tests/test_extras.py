@@ -226,3 +226,76 @@ def test_kv_cached_generate_matches_full_forward():
         max_new_tokens=6,
     )
     np.testing.assert_array_equal(np.asarray(full_m), np.asarray(cached_m))
+
+
+def test_kv_cached_beam_generate():
+    """Beam search over the KV cache (reference surface: HF generate with
+    beam cache reordering, models/qformer.py:1104-1135).  num_beams=1 must
+    equal greedy token-for-token; wider beams must never score below the
+    greedy sequence under the same model."""
+    from unirec_tpu.models.qformer_decode import (
+        kv_cached_beam_generate,
+        kv_cached_greedy_generate,
+    )
+
+    cfg = QFormerConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, encoder_width=24, query_length=4,
+        vocab_size=50, max_position_embeddings=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    model = QFormerLMHeadModel(cfg)
+    rng = jax.random.PRNGKey(3)
+    q = jax.random.normal(rng, (2, 4, 32))
+    mem = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 24))
+    ids = jnp.ones((2, 8), jnp.int32)
+    params = model.init(
+        rng, input_ids=ids, query_embeds=q, encoder_hidden_states=mem
+    )
+
+    greedy = kv_cached_greedy_generate(
+        params, cfg, q, mem, bos_token_id=1, eos_token_id=2,
+        max_new_tokens=8,
+    )
+    beam1, score1 = jax.jit(
+        lambda p: kv_cached_beam_generate(
+            p, cfg, q, mem, bos_token_id=1, eos_token_id=2,
+            max_new_tokens=8, num_beams=1,
+        )
+    )(params)
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(beam1))
+
+    def seq_logprob(seq):
+        """length-normalized logprob of a generated sequence under the
+        teacher-forced model (penalty 1.0 to match the beam score)."""
+        seq = np.asarray(seq)
+        b = seq.shape[0]
+        full_mask = jnp.ones((b, 4 + seq.shape[1]), jnp.float32)
+        logits = model.apply(
+            params, input_ids=jnp.asarray(seq), attention_mask=full_mask,
+            query_embeds=q, encoder_hidden_states=mem,
+        )
+        logp = jax.nn.log_softmax(np.asarray(logits, np.float32), axis=-1)
+        out = np.zeros(b)
+        for row in range(b):
+            t = 0
+            while t + 1 < seq.shape[1]:
+                tok = seq[row, t + 1]
+                out[row] += logp[row, t, tok]
+                t += 1
+                if tok == 2:  # EOS
+                    break
+            out[row] /= (t + 1)
+        return out
+
+    beam4, score4 = jax.jit(
+        lambda p: kv_cached_beam_generate(
+            p, cfg, q, mem, bos_token_id=1, eos_token_id=2,
+            max_new_tokens=8, num_beams=4,
+        )
+    )(params)
+    g_lp = seq_logprob(greedy)
+    b_lp = seq_logprob(beam4)
+    assert (b_lp >= g_lp - 1e-5).all(), (b_lp, g_lp)
+    # the beam's reported score must equal the teacher-forced re-scoring
+    np.testing.assert_allclose(np.asarray(score4), b_lp, atol=1e-4)

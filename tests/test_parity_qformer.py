@@ -286,3 +286,105 @@ def test_lm_head_model_parity():
         np.asarray(f_logits), t_logits, atol=5e-5, rtol=1e-3
     )
     np.testing.assert_allclose(float(f_loss), t_loss, rtol=1e-4)
+
+
+@pytest.mark.parametrize("variant", ["relative_key", "relative_key_query"])
+def test_relative_position_parity(variant):
+    """BERT relative-position self-attention variants
+    (reference: models/qformer.py:207-242).  Self-attention-only encoder:
+    the reference einsum assumes Lq == Lkv, so cross-attention layers are
+    incompatible with relative mode in the reference too."""
+    cfg = BertConfig(
+        hidden_size=HIDDEN,
+        num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS,
+        intermediate_size=FFN,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        add_cross_attention=False,
+        cross_attention_freq=2,
+        encoder_width=WIDTH,
+        query_length=K,
+        vocab_size=100,
+        max_position_embeddings=32,
+        position_embedding_type=variant,
+    )
+    torch.manual_seed(7)
+    tmodel = BertModel(cfg, add_pooling_layer=False)
+    tmodel.eval()
+
+    rng = np.random.RandomState(7)
+    q = rng.randn(2, K, HIDDEN).astype(np.float32)
+    ids = np.array([[5, 6, 7, 8], [9, 10, 0, 0]], dtype=np.int64)
+    text_mask = np.array([[1, 1, 1, 1], [1, 1, 0, 0]], dtype=np.float32)
+    full_mask = np.concatenate([np.ones((2, K), np.float32), text_mask], axis=1)
+
+    with torch.no_grad():
+        t_out = tmodel(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(full_mask),
+            query_embeds=torch.tensor(q),
+            return_dict=True,
+        ).last_hidden_state.numpy()
+
+    fcfg = QFormerConfig(
+        hidden_size=HIDDEN,
+        num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS,
+        intermediate_size=FFN,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        add_cross_attention=False,
+        encoder_width=WIDTH,
+        query_length=K,
+        vocab_size=100,
+        max_position_embeddings=32,
+        position_embedding_type=variant,
+    )
+    fmodel = QFormerModel(fcfg)
+    params = {"params": convert_qformer_model(tmodel.state_dict(), fcfg)}
+    f_out = np.asarray(
+        fmodel.apply(
+            params,
+            input_ids=jnp.asarray(ids),
+            attention_mask=jnp.asarray(full_mask),
+            query_embeds=jnp.asarray(q),
+        )
+    )
+    np.testing.assert_allclose(f_out, t_out, atol=3e-5, rtol=1e-4)
+
+
+def test_pooler_parity():
+    """BertPooler (dense+tanh over the first token,
+    reference: models/qformer.py:592-604)."""
+    cfg, tmodel = make_torch_bert()
+    torch.manual_seed(8)
+    tmodel = BertModel(cfg, add_pooling_layer=True)
+    tmodel.eval()
+
+    rng = np.random.RandomState(8)
+    q = rng.randn(3, K, HIDDEN).astype(np.float32)
+    mem = rng.randn(3, 6, WIDTH).astype(np.float32)
+
+    with torch.no_grad():
+        t_out = tmodel(
+            query_embeds=torch.tensor(q),
+            encoder_hidden_states=torch.tensor(mem),
+            attention_mask=torch.ones(3, K),
+            return_dict=True,
+        )
+    t_seq = t_out.last_hidden_state.numpy()
+    t_pooled = t_out.pooler_output.numpy()
+
+    fmodel = QFormerModel(flax_cfg(), add_pooling_layer=True)
+    params = {"params": convert_qformer_model(tmodel.state_dict(), flax_cfg())}
+    f_seq, f_pooled = fmodel.apply(
+        params,
+        query_embeds=jnp.asarray(q),
+        attention_mask=jnp.ones((3, K)),
+        encoder_hidden_states=jnp.asarray(mem),
+    )
+    np.testing.assert_allclose(np.asarray(f_seq), t_seq, atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(f_pooled), t_pooled, atol=2e-5, rtol=1e-4
+    )

@@ -113,6 +113,10 @@ class QFormerConfig:
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
     hidden_act: str = "gelu"
+    # Self-attention position scoring: "absolute" (the only mode UniRec's
+    # pipelines use) or the BERT relative variants "relative_key" /
+    # "relative_key_query" (reference: models/qformer.py:207-242).
+    position_embedding_type: str = "absolute"
     gradient_checkpointing: bool = False
     # Inference-only bf16 softmax path (~20% faster on TPU for the tiny
     # per-item attention shapes); keep False for training / strict parity.

@@ -84,17 +84,23 @@ class QFormerEmbeddings(nn.Module):
                 name="word_embeddings",
                 dtype=self.dtype,
             )(input_ids)
-            seq_len = input_ids.shape[1]
-            if position_ids is None:
-                position_ids = jnp.arange(past_length, past_length + seq_len)[None, :]
-            pos_emb = nn.Embed(
-                cfg.max_position_embeddings,
-                cfg.hidden_size,
-                embedding_init=bert_init(cfg.initializer_range),
-                name="position_embeddings",
-                dtype=self.dtype,
-            )(position_ids)
-            embeddings = word_emb + pos_emb
+            embeddings = word_emb
+            if cfg.position_embedding_type == "absolute":
+                # relative variants skip the absolute position table
+                # (reference: models/qformer.py:96-99)
+                seq_len = input_ids.shape[1]
+                if position_ids is None:
+                    position_ids = jnp.arange(
+                        past_length, past_length + seq_len
+                    )[None, :]
+                pos_emb = nn.Embed(
+                    cfg.max_position_embeddings,
+                    cfg.hidden_size,
+                    embedding_init=bert_init(cfg.initializer_range),
+                    name="position_embeddings",
+                    dtype=self.dtype,
+                )(position_ids)
+                embeddings = word_emb + pos_emb
             if query_embeds is not None:
                 embeddings = jnp.concatenate(
                     [query_embeds.astype(embeddings.dtype), embeddings], axis=1
@@ -187,6 +193,52 @@ class QFormerAttention(nn.Module):
                 dropout_rng=rng,
                 deterministic=deterministic,
             )
+        elif (
+            not self.is_cross
+            and cfg.position_embedding_type != "absolute"
+        ):
+            # BERT relative-position scoring (reference:
+            # models/qformer.py:207-242): distance embeddings contribute
+            # q·pe (and k·pe for relative_key_query) to the RAW scores,
+            # and the sum is scaled by 1/sqrt(hd) afterwards — faithfully
+            # reproduced, including the fp32 softmax.  Self-attention only:
+            # the reference einsum assumes Lq == Lkv, which never holds for
+            # cross-attention.
+            k = split_heads(dense("key")(src), heads)
+            v = split_heads(dense("value")(src), heads)
+            length = hidden_states.shape[1]
+            hd = cfg.head_dim
+            positions = jnp.arange(length)
+            distance = positions[:, None] - positions[None, :]
+            pe = nn.Embed(
+                2 * cfg.max_position_embeddings - 1,
+                hd,
+                embedding_init=bert_init(cfg.initializer_range),
+                name="distance_embedding",
+                dtype=self.dtype,
+            )(distance + cfg.max_position_embeddings - 1)  # [L, L, hd]
+            scores = jnp.einsum(
+                "bhld,bhrd->bhlr", q, k, preferred_element_type=jnp.float32
+            )
+            scores += jnp.einsum(
+                "bhld,lrd->bhlr", q, pe, preferred_element_type=jnp.float32
+            )
+            if cfg.position_embedding_type == "relative_key_query":
+                scores += jnp.einsum(
+                    "bhrd,lrd->bhlr", k, pe,
+                    preferred_element_type=jnp.float32,
+                )
+            scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+            if bias is not None:
+                scores = scores + bias.astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1)
+            if rng is not None:
+                keep = jax.random.bernoulli(rng, 1.0 - drop_rate, probs.shape)
+                probs = jnp.where(keep, probs / (1.0 - drop_rate), 0.0)
+            ctx = jnp.einsum(
+                "bhlr,bhrd->bhld", probs.astype(q.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(q.dtype)
         else:
             # Note: ops/packed_attention.py (item-packed MXU tiles) beats the
             # XLA attention core 1.67x in isolation, but loses in-model
@@ -335,14 +387,39 @@ class QFormerEncoder(nn.Module):
         return hidden_states
 
 
-class QFormerModel(nn.Module):
-    """Functional equivalent of BertModel (reference: models/qformer.py:677-972).
+class QFormerPooler(nn.Module):
+    """dense+tanh over the first token (reference: models/qformer.py:592-604).
 
-    Returns the last hidden state ``[B, query_length + text_length, hidden]``.
+    Unused by every UniRec pipeline (the reference constructs BertModel with
+    ``add_pooling_layer=False`` everywhere); provided for backbone parity.
     """
 
     config: QFormerConfig
     dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: jax.Array) -> jax.Array:
+        first = hidden_states[:, 0]
+        h = nn.Dense(
+            self.config.hidden_size,
+            kernel_init=bert_init(self.config.initializer_range),
+            name="dense",
+            dtype=self.dtype,
+        )(first)
+        return jnp.tanh(h)
+
+
+class QFormerModel(nn.Module):
+    """Functional equivalent of BertModel (reference: models/qformer.py:677-972).
+
+    Returns the last hidden state ``[B, query_length + text_length, hidden]``
+    (plus the tanh-pooled first token when ``add_pooling_layer=True``,
+    reference: models/qformer.py:691-694).
+    """
+
+    config: QFormerConfig
+    dtype: Dtype = jnp.float32
+    add_pooling_layer: bool = False
 
     @nn.compact
     def __call__(
@@ -386,7 +463,7 @@ class QFormerModel(nn.Module):
                 )
             encoder_bias = make_additive_mask(encoder_attention_mask)
 
-        return QFormerEncoder(cfg, name="encoder", dtype=self.dtype)(
+        sequence_output = QFormerEncoder(cfg, name="encoder", dtype=self.dtype)(
             hidden,
             self_bias,
             encoder_hidden_states,
@@ -394,6 +471,12 @@ class QFormerModel(nn.Module):
             query_length,
             deterministic=deterministic,
         )
+        if self.add_pooling_layer:
+            pooled = QFormerPooler(cfg, name="pooler", dtype=self.dtype)(
+                sequence_output
+            )
+            return sequence_output, pooled
+        return sequence_output
 
 
 class QFormerLMPredictionHead(nn.Module):

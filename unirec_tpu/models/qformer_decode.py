@@ -230,3 +230,156 @@ def kv_cached_greedy_generate(
         jnp.arange(max_new_tokens - 1),
     )
     return ids
+
+
+def _decode_step(bert, cfg, h, k_cache, v_cache, bias, t, n_q):
+    """One cached decoder step for a [N, 1, D] token batch; returns
+    (hidden, new_k_cache, new_v_cache)."""
+    eps = cfg.layer_norm_eps
+    heads = cfg.num_attention_heads
+    new_k, new_v = [], []
+    for i in range(cfg.num_hidden_layers):
+        lp = bert["encoder"][f"layer_{i}"]
+        att = lp["attention"]
+        q = split_heads(_dense(h, att["query"]), heads)
+        k = split_heads(_dense(h, att["key"]), heads)
+        v = split_heads(_dense(h, att["value"]), heads)
+        kc = jax.lax.dynamic_update_slice(k_cache[i], k, (0, 0, n_q + t, 0))
+        vc = jax.lax.dynamic_update_slice(v_cache[i], v, (0, 0, n_q + t, 0))
+        new_k.append(kc)
+        new_v.append(vc)
+        ctx = merge_heads(_attend(q, kc, vc, bias))
+        h = _ln(
+            _dense(ctx, att["output_dense"]) + h,
+            att["output_LayerNorm"], eps,
+        )
+        h = _ffn(h, lp["ffn"], eps)
+    return h, jnp.stack(new_k), jnp.stack(new_v)
+
+
+def kv_cached_beam_generate(
+    params,
+    cfg: QFormerConfig,
+    query_embeds: jax.Array,             # [B, K, D]
+    encoder_hidden_states: Optional[jax.Array] = None,
+    encoder_attention_mask: Optional[jax.Array] = None,
+    *,
+    bos_token_id: int,
+    eos_token_id: int,
+    pad_token_id: int = 0,
+    max_new_tokens: int = 32,
+    num_beams: int = 4,
+    length_penalty: float = 1.0,
+):
+    """KV-cached beam search (the reference rides HF ``generate`` with beam
+    cache reordering, models/qformer.py:1104-1135; this is the functional
+    TPU equivalent — fixed shapes, one ``lax.scan``, cache reorder as a
+    batched gather).
+
+    Returns ``(ids [B, T], score [B])`` — the best beam per batch row under
+    HF's length-penalized score ``logprob / len(generated)**length_penalty``.
+    ``num_beams=1`` reduces exactly to greedy decoding.
+    """
+    bert = params["params"]["bert"]
+    cls = params["params"]["cls"]
+    eps = cfg.layer_norm_eps
+    b, n_q, d = query_embeds.shape
+    n = num_beams
+    total = n_q + max_new_tokens
+
+    pk, pv = _prefill(
+        params, cfg, query_embeds, encoder_hidden_states,
+        encoder_attention_mask,
+    )  # [L, B, H, K, hd]
+    # expand to beams: row b -> rows [b*n, b*n + n)
+    pk = jnp.repeat(pk, n, axis=1)
+    pv = jnp.repeat(pv, n, axis=1)
+    hd = pk.shape[-1]
+    zeros = jnp.zeros(
+        (cfg.num_hidden_layers, b * n, cfg.num_attention_heads,
+         max_new_tokens, hd), pk.dtype
+    )
+    k_cache = jnp.concatenate([pk, zeros], axis=3)
+    v_cache = jnp.concatenate([pv, zeros], axis=3)
+
+    word = bert["embeddings"]["word_embeddings"]["embedding"]
+    pos = bert["embeddings"]["position_embeddings"]["embedding"]
+    key_pos = jnp.arange(total)
+
+    neg_inf = jnp.asarray(NEG_INF, jnp.float32)
+    ids = jnp.full((b, n, max_new_tokens), pad_token_id, jnp.int32)
+    ids = ids.at[:, :, 0].set(bos_token_id)
+    # only beam 0 is live at t=0 (all beams hold identical BOS prefixes)
+    scores = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)), jnp.full((n - 1,), neg_inf)])[None],
+        (b, 1),
+    )
+    finished = jnp.zeros((b, n), bool)
+    lengths = jnp.full((b, n), max_new_tokens, jnp.int32)
+
+    vocab = word.shape[0]
+    batch_offsets = (jnp.arange(b) * n)[:, None]  # [B, 1]
+
+    def step(carry, t):
+        ids, scores, finished, lengths, k_cache, v_cache = carry
+        tok = jax.lax.dynamic_slice(
+            ids.reshape(b * n, max_new_tokens), (0, t), (b * n, 1)
+        )  # [B*n, 1]
+        h = _ln(
+            word[tok[:, 0]][:, None, :] + pos[t][None, None, :],
+            bert["embeddings"]["LayerNorm"],
+            eps,
+        )
+        visible = key_pos[None, None, None, :] <= (n_q + t)
+        bias = jnp.where(visible, 0.0, NEG_INF).astype(jnp.float32)
+        h, k_cache, v_cache = _decode_step(
+            bert, cfg, h, k_cache, v_cache, bias, t, n_q
+        )
+        logits = _lm_logits(h, cls, eps)[:, 0].reshape(b, n, vocab)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        # finished beams: freeze score, emit pad only
+        pad_onehot = jnp.where(
+            jnp.arange(vocab)[None, None, :] == pad_token_id, 0.0, neg_inf
+        )
+        logp = jnp.where(finished[..., None], pad_onehot, logp)
+
+        cand = (scores[..., None] + logp).reshape(b, n * vocab)
+        top_scores, top_idx = jax.lax.top_k(cand, n)  # [B, n]
+        parent = top_idx // vocab  # [B, n]
+        token = (top_idx % vocab).astype(jnp.int32)
+
+        # reorder beam state by parent
+        ids = jnp.take_along_axis(ids, parent[..., None], axis=1)
+        finished = jnp.take_along_axis(finished, parent, axis=1)
+        lengths = jnp.take_along_axis(lengths, parent, axis=1)
+        flat_parent = (batch_offsets + parent).reshape(-1)  # [B*n]
+        k_cache = jnp.take(k_cache, flat_parent, axis=1)
+        v_cache = jnp.take(v_cache, flat_parent, axis=1)
+
+        token = jnp.where(finished, pad_token_id, token)
+        write = jnp.minimum(t + 1, max_new_tokens - 1)
+        prev = jax.lax.dynamic_slice_in_dim(ids, write, 1, axis=2)[..., 0]
+        ids = jax.lax.dynamic_update_slice_in_dim(
+            ids,
+            jnp.where(t + 1 < max_new_tokens, token, prev)[..., None],
+            write,
+            axis=2,
+        )
+        just_finished = (~finished) & (token == eos_token_id)
+        # generated length incl. BOS + EOS when finishing at t+1
+        lengths = jnp.where(just_finished, t + 2, lengths)
+        finished = finished | just_finished
+        scores = top_scores
+        return (ids, scores, finished, lengths, k_cache, v_cache), None
+
+    (ids, scores, finished, lengths, _, _), _ = jax.lax.scan(
+        step, (ids, scores, finished, lengths, k_cache, v_cache),
+        jnp.arange(max_new_tokens - 1),
+    )
+    final = scores / (lengths.astype(jnp.float32) ** length_penalty)
+    best = jnp.argmax(final, axis=1)  # [B]
+    best_ids = jnp.take_along_axis(
+        ids, best[:, None, None], axis=1
+    )[:, 0]  # [B, T]
+    best_score = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
+    return best_ids, best_score

@@ -44,13 +44,19 @@ def _layernorm(sd: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
 
 def _attention(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
     """BertAttention (self or cross) -> QFormerAttention params."""
-    return {
+    out = {
         "query": _dense(sd, f"{prefix}.self.query"),
         "key": _dense(sd, f"{prefix}.self.key"),
         "value": _dense(sd, f"{prefix}.self.value"),
         "output_dense": _dense(sd, f"{prefix}.output.dense"),
         "output_LayerNorm": _layernorm(sd, f"{prefix}.output.LayerNorm"),
     }
+    if f"{prefix}.self.distance_embedding.weight" in sd:
+        # relative-position variants (reference: models/qformer.py:138-146)
+        out["distance_embedding"] = {
+            "embedding": _np(sd[f"{prefix}.self.distance_embedding.weight"])
+        }
+    return out
 
 
 def _ffn(sd: Mapping[str, Any], inter_prefix: str, out_prefix: str) -> Dict[str, Any]:
@@ -94,7 +100,10 @@ def convert_qformer_model(
             layer["ffn"] = _ffn(sd, f"{lp}.intermediate", f"{lp}.output")
         encoder[f"layer_{i}"] = layer
 
-    return {"embeddings": emb, "encoder": encoder}
+    out = {"embeddings": emb, "encoder": encoder}
+    if f"{p}pooler.dense.weight" in sd:
+        out["pooler"] = {"dense": _dense(sd, f"{p}pooler.dense")}
+    return out
 
 
 def convert_item_qformer(
