@@ -78,3 +78,16 @@ def cast_frozen_to_bf16(params: Dict) -> Dict:
         params,
         mask,
     )
+
+
+def prune_to_structure(tree: Dict, template: Dict) -> Dict:
+    """Recursively keep only the keys ``template`` has.
+
+    Torch state dicts materialize params the query-only flax modules never
+    create (e.g. BertLayer's text-FFN, absolute position tables in relative
+    mode); converters emit them for completeness — prune before merging into
+    a flax param tree.
+    """
+    if isinstance(template, dict):
+        return {k: prune_to_structure(tree[k], template[k]) for k in template}
+    return tree
