@@ -35,11 +35,15 @@ import jax.numpy as jnp
 from unirec_tpu.ops.fused_qformer_layer import _layer_norm_rows, _row2d
 
 NEG_INF = -1e9
-# 512-row tiles were tried (int8 weights halve the weight VMEM): both the
-# FFN (by 0.9 MB) and the self block (by 0.6 MB) overflow the 16 MB scoped
-# VMEM limit from their fp32 intermediates — 256 stands.
-_TILE_ROWS = 256
-_FFN_TILE_ROWS = 256
+# Tile-size audit (round 2, production config D=1024/FFN 4096/K=32/F=14):
+# with the input tile cached as an int8 scratch (instead of the earlier
+# fp32 re-quant per chunk), 512-row tiles now COMPILE and WIN for the FFN
+# (8.44 vs 9.13 ms) and the cross block (7.43 vs 7.58); the SELF block
+# still overflows scoped VMEM at 512 (its [T, 3D] qkv intermediate) — 256
+# stands there.
+_TILE_ROWS = 256          # self block
+_CROSS_TILE_ROWS = 512
+_FFN_TILE_ROWS = 512
 
 
 def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -57,7 +61,9 @@ def _row_quant(x32):
         jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-6
     )
     rscale = absmax / 127.0
-    q = jnp.clip(jnp.round(x32 / rscale), -127, 127).astype(jnp.int8)
+    # divide per ROW (127/absmax), broadcast-multiply over D columns —
+    # x32 / rscale was a [T, D] fp32 divide (multi-op per lane on the VPU)
+    q = jnp.clip(jnp.round(x32 * (127.0 / absmax)), -127, 127).astype(jnp.int8)
     return q, rscale
 
 
@@ -115,7 +121,8 @@ def _self_block_kernel_q(
         )
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        # divide [T,1] once, broadcast-multiply (VPU: divide is multi-op)
+        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
         c = jax.lax.dot_general(
             p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -182,7 +189,8 @@ def _cross_block_kernel_q(
         )
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        # divide [T,1] once, broadcast-multiply (VPU: divide is multi-op)
+        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
         c = jax.lax.dot_general(
             p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -212,6 +220,8 @@ def _ffn_kernel_q(
     beta_ref,
     o_ref,
     acc_ref,     # [T, D] fp32 scratch
+    xq_ref,      # [T, D] int8 scratch: the tile quantized ONCE
+    xs_ref,      # [T, _LANES] fp32 scratch: row scales (lane-broadcast)
     *,
     num_chunks: int,
     ln_eps: float,
@@ -223,20 +233,35 @@ def _ffn_kernel_q(
     @pl.when(c_idx == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
+        # quantize the input tile once for all chunks — re-quantizing per
+        # chunk was pure VPU overhead (~16x an absmax/div/round/clip pass
+        # over [T, D]); the engine is VPU-bound, not MXU-bound
+        x_q, rs = _row_quant(x_ref[...].astype(jnp.float32))
+        xq_ref[...] = x_q
+        xs_ref[...] = jnp.broadcast_to(rs, xs_ref.shape)
 
-    x = x_ref[...]
-    x_q, rs = _row_quant(x.astype(jnp.float32))
-    h = _mm_q(x_q, rs, w1_ref, s1_ref) + b1_ref[...].astype(jnp.float32)
+    h = (
+        _mm_q(xq_ref[...], xs_ref[:, :1], w1_ref, s1_ref)
+        + b1_ref[...].astype(jnp.float32)
+    )
     # bf16-engine dtype rule: tanh-approx gelu (inference/fused_qformer._ffn)
     h = jax.nn.gelu(h, approximate=True)
     h_q, hrs = _row_quant(h)
-    acc_ref[...] += _mm_q(h_q, hrs, w2_ref, s2_ref)
+    # defer the (constant) per-column w2 scale out of the chunk loop: the
+    # accumulator holds sum_c (h_q @ w2_c) * row_scale; s2 applies once at
+    # the end instead of a [T, D] fp32 multiply per chunk
+    acc2 = jax.lax.dot_general(
+        h_q, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_ref[...] += acc2.astype(jnp.float32) * hrs
 
     @pl.when(c_idx == num_chunks - 1)
     def _done():
         y = _layer_norm_rows(
-            acc_ref[...] + b2_ref[...].astype(jnp.float32)
-            + x.astype(jnp.float32),
+            acc_ref[...] * s2_ref[...].astype(jnp.float32)
+            + b2_ref[...].astype(jnp.float32)
+            + x_ref[...].astype(jnp.float32),
             gamma_ref[...].astype(jnp.float32),
             beta_ref[...].astype(jnp.float32),
             ln_eps,
@@ -316,7 +341,7 @@ def fused_cross_attention_block_q(
     b, k, d = x.shape
     f, dm = mem.shape[1], mem.shape[2]
     assert k == n_q and f == n_kv
-    tile = _TILE_ROWS if _TILE_ROWS % n_q == 0 else n_q
+    tile = _CROSS_TILE_ROWS if _CROSS_TILE_ROWS % n_q == 0 else n_q
     p_items = tile // n_q
     pad_b = (-b) % p_items
     if pad_b:
@@ -427,7 +452,11 @@ def fused_ffn_block_q(
             (tile, d), lambda i, c: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
-        scratch_shapes=[pltpu.VMEM((tile, d), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((tile, d), jnp.float32),
+            pltpu.VMEM((tile, d), jnp.int8),
+            pltpu.VMEM((tile, 128), jnp.float32),
+        ],
         interpret=interpret,
     )(xf, w1_q, _row2d(s1), _row2d(b1), w2_q, _row2d(s2), _row2d(b2),
       _row2d(ln_gamma), _row2d(ln_beta))

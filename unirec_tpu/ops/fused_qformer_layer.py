@@ -99,7 +99,8 @@ def _self_block_kernel(
         )
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        # divide [T,1] once, broadcast-multiply (VPU: divide is multi-op)
+        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
         c = jax.lax.dot_general(
             p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -182,7 +183,8 @@ def _cross_block_kernel(
         )
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        # divide [T,1] once, broadcast-multiply (VPU: divide is multi-op)
+        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
         c = jax.lax.dot_general(
             p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
