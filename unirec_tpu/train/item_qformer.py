@@ -114,7 +114,9 @@ def make_train_step(
         return rep.astype(jnp.float32)
 
     def step(state: TrainState, batch):
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        # hardware-rng dropout bits (see train/joint.py: threefry measured
+        # ~60 ms/step at the joint scale; same seed+fold_in determinism)
+        rng = jax.random.fold_in(jax.random.key(0, impl="rbg"), state.step)
 
         def loss_fn(params):
             anc = model.apply(

@@ -215,7 +215,12 @@ def make_joint_train_step(
     return_grads: bool = False,
 ):
     def step(state: TrainState, batch):
-        rng = jax.random.fold_in(jax.random.PRNGKey(1), state.step)
+        # rbg dropout bits: the threefry2x32 bit generator costs ~60 ms per
+        # step at batch 8/seq 512 on v5e (28 layers of [B,L,*] masks);
+        # the hardware rng path measured 192.6 -> 120.1 ms for the same
+        # fwd+bwd (BASELINE.md round 4). Same determinism contract
+        # (seed + fold_in(step)), different (equally valid) random bits.
+        rng = jax.random.fold_in(jax.random.key(1, impl="rbg"), state.step)
 
         def loss_fn(params):
             # stop_gradient on the frozen base subtree: XLA prunes the dW

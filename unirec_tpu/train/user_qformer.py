@@ -134,7 +134,8 @@ class UserQFormerTrainer:
             seq_apply = jax.checkpoint(seq_model.apply)
 
         def step(state: TrainState, batch):
-            rng = jax.random.fold_in(jax.random.PRNGKey(2), state.step)
+            # hardware-rng dropout bits (see train/joint.py)
+            rng = jax.random.fold_in(jax.random.key(2, impl="rbg"), state.step)
 
             def loss_fn(params):
                 seq_params = params["sequence"]
