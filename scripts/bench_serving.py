@@ -32,6 +32,11 @@ def main():
     p.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
     p.add_argument("--prewarm", action="store_true",
                    help="batch-tokenize all prompt fragments at startup")
+    p.add_argument("--http-clients", type=int, default=0,
+                   help="N concurrent HTTP clients through the micro-batched "
+                        "server (0 = skip)")
+    p.add_argument("--http-requests", type=int, default=8,
+                   help="requests per client in the HTTP load test")
     args = p.parse_args()
 
     from unirec_tpu.configs import (
@@ -125,6 +130,88 @@ def main():
         rec._build_batch(chunk)
     dt = time.time() - t0
     print(f"host assembly only: {len(histories)/dt:.1f} users/s", flush=True)
+
+    if args.http_clients:
+        import json
+        import threading
+        import urllib.request
+
+        from unirec_tpu.serving.server import make_server
+
+        server, batcher = make_server(rec, port=0, max_wait_ms=25.0)
+        port = server.server_address[1]
+        st = threading.Thread(target=server.serve_forever, daemon=True)
+        st.start()
+        n_c, n_r = args.http_clients, args.http_requests
+        errors = []
+
+        # phase 0: direct batcher calls (no HTTP) — isolates the HTTP layer
+        def direct_client(ci):
+            r = np.random.RandomState(1000 + ci)
+            for _ in range(n_r):
+                h = [item_ids[r.randint(0, hot)]
+                     for _ in range(r.randint(1, jc.num_history_items + 1))]
+                out = batcher.recommend(h, k=10)
+                assert len(out) == 10
+        direct_client(0)  # warm
+        b0, s0 = batcher.batches_run, batcher.requests_served
+        t0 = time.time()
+        dthreads = [threading.Thread(target=direct_client, args=(ci,))
+                    for ci in range(n_c)]
+        for th in dthreads: th.start()
+        for th in dthreads: th.join()
+        dt = time.time() - t0
+        print(f"RESULT direct-batcher clients={n_c} reqs={n_c*n_r} "
+              f"users_per_s={n_c*n_r/dt:.1f} "
+              f"batches={batcher.batches_run-b0} "
+              f"fill={(batcher.requests_served-s0)/max(batcher.batches_run-b0,1):.1f}",
+              flush=True)
+
+        def client(ci):
+            r = np.random.RandomState(ci)
+            for _ in range(n_r):
+                h = [item_ids[r.randint(0, hot)]
+                     for _ in range(r.randint(1, jc.num_history_items + 1))]
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/recommend",
+                    data=json.dumps({"history": h, "k": 10}).encode(),
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=120) as resp:
+                    out = json.loads(resp.read())
+                    assert len(out["items"]) == 10
+
+        # warm one round (compile/caches) before timing
+        threads = [threading.Thread(target=lambda: client(999))]
+        threads[0].start(); threads[0].join()
+        served0, batches0 = batcher.requests_served, batcher.batches_run
+        def safe_client(ci):
+            try:
+                client(ci)
+            except Exception as e:
+                errors.append((ci, repr(e)))
+
+        t0 = time.time()
+        threads = [
+            threading.Thread(target=safe_client, args=(ci,))
+            for ci in range(n_c)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        dt = time.time() - t0
+        total = n_c * n_r
+        served = batcher.requests_served - served0
+        batches = batcher.batches_run - batches0
+        print(
+            f"RESULT http clients={n_c} reqs={total} errors={len(errors)} "
+            f"users_per_s={total/dt:.1f} batches={batches} "
+            f"avg_batch_fill={served/max(batches,1):.1f}",
+            flush=True,
+        )
+        server.shutdown()
+        batcher.close()
 
 
 if __name__ == "__main__":

@@ -48,6 +48,7 @@ class Recommender:
         batch_size: int = 8,
         quantize_catalog: bool = False,
         precision: str = "bf16",
+        device_field_cache: bool = True,
     ):
         """``precision="int8"`` runs the user-encoding Qwen3 forward with
         int8 (W8A8) projection matmuls (models/qwen3.quantize_qwen3_weights)
@@ -80,6 +81,21 @@ class Recommender:
 
         if precision not in ("bf16", "int8"):
             raise ValueError(f"precision must be bf16 or int8, got {precision!r}")
+        if precision == "int8" and batch_size > 16:
+            # measured pathology (BASELINE.md round 3): the XLA int8 dot at
+            # [batch*seq, D] >= [16k, D] picks a bad layout/fusion — 37.2
+            # users/s at batch 32 vs 79.0 bf16.  Clamp loudly rather than
+            # ship the known-bad configuration.
+            import warnings
+
+            warnings.warn(
+                f"precision='int8' with batch_size={batch_size} is a "
+                "known-slow XLA configuration (BASELINE.md round 3); "
+                "clamping to 16. Use bf16 for larger per-chip batches.",
+                stacklevel=2,
+            )
+            batch_size = 16
+            self.batch_size = batch_size
         self.precision = precision
         self._qweights = None
         if precision == "int8":
@@ -114,6 +130,41 @@ class Recommender:
                     )
                 )
             )
+        # Device-resident field cache: per-batch history gathers move ON
+        # DEVICE so each request batch uploads [B, H] int32 row indices
+        # instead of [B, H, F, FD] fp32 embeddings (~9 MB/batch at the
+        # production config — the dominant host->device traffic through
+        # the axon tunnel; BASELINE.md round 4).  Costs num_items*F*FD
+        # bf16 HBM once (~0.57 GB for a 20k catalog).
+        self.device_cache = device_field_cache
+        if device_field_cache:
+            self._cache_emb_dev = jnp.asarray(
+                field_cache.embeddings, jnp.bfloat16
+            )
+            self._cache_mask_dev = jnp.asarray(
+                field_cache.masks, jnp.float32
+            )
+            base_fwd = self._fwd
+
+            # cache arrays ride as jit ARGUMENTS (closure captures would
+            # bake 0.57 GB of constants into the executable — see the
+            # qweights note above)
+            def fwd_rows(p, cache_emb, cache_mask, ids, m, rows):
+                valid = rows >= 0  # [B, H]
+                safe = jnp.clip(rows, 0, None)
+                he = jnp.where(
+                    valid[..., None, None],
+                    cache_emb[safe].astype(jnp.float32),
+                    0.0,
+                )
+                hm = jnp.where(valid[..., None], cache_mask[safe], 0.0)
+                return base_fwd(p, ids, m, he, hm)
+
+            inner_rows = jax.jit(fwd_rows)
+            self._fwd_rows = lambda p, ids, m, rows: inner_rows(
+                p, self._cache_emb_dev, self._cache_mask_dev, ids, m, rows
+            )
+
         # fragment-cached prompt tokenization (serving/prompt_cache.py):
         # exact by construction (self-verified) and ~free after warmup on
         # repeated titles — the measured host-side bottleneck of serving.
@@ -148,6 +199,19 @@ class Recommender:
             input_ids[i], attn[i] = self._prompt.encode(history, jc.max_length)
         return input_ids, attn, hist_emb, hist_mask
 
+    def _build_batch_rows(self, histories: Sequence[Sequence[str]]):
+        """(input_ids, attn, cache rows [B, H]) — the device-gather path."""
+        jc = self.jc
+        n = len(histories)
+        input_ids = np.zeros((n, jc.max_length), np.int32)
+        attn = np.zeros((n, jc.max_length), np.float32)
+        rows = np.full((n, jc.num_history_items), -1, np.int32)
+        for i, history in enumerate(histories):
+            history = [str(h) for h in history][-jc.num_history_items:]
+            rows[i, : len(history)] = self.cache.rows_for(history)
+            input_ids[i], attn[i] = self._prompt.encode(history, jc.max_length)
+        return input_ids, attn, rows
+
     # batches allowed in flight on the device before the oldest result is
     # drained: overlaps host assembly with device compute without letting a
     # bulk encode_users call accumulate unbounded device buffers (each batch
@@ -172,11 +236,18 @@ class Recommender:
             n = len(chunk)
             while len(chunk) < bs:
                 chunk.append([])  # pad with empty histories
-            ids, attn, he, hm = self._build_batch(chunk)
-            emb = self._fwd(
-                self.params, jnp.asarray(ids), jnp.asarray(attn),
-                jnp.asarray(he), jnp.asarray(hm),
-            )
+            if self.device_cache:
+                ids, attn, rows = self._build_batch_rows(chunk)
+                emb = self._fwd_rows(
+                    self.params, jnp.asarray(ids), jnp.asarray(attn),
+                    jnp.asarray(rows),
+                )
+            else:
+                ids, attn, he, hm = self._build_batch(chunk)
+                emb = self._fwd(
+                    self.params, jnp.asarray(ids), jnp.asarray(attn),
+                    jnp.asarray(he), jnp.asarray(hm),
+                )
             pending.append((emb, n))
             if len(pending) >= self.MAX_IN_FLIGHT:
                 emb0, n0 = pending.popleft()
