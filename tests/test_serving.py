@@ -87,6 +87,18 @@ def test_recommend_top_k(recommender):
     assert [r.item_id for r in recs[1]] == best
 
 
+def test_recommend_multi_chunk_ragged_tail(recommender):
+    """5 users at batch_size=4 -> 2 encode chunks, last chunk 1/4 full: the
+    single concatenated retrieval must drop the pad rows and keep per-user
+    results identical to one-user-at-a-time calls."""
+    histories = [["i0", "i1"], ["i3"], [], ["i2"], ["i4", "i5"]]
+    recs = recommender.recommend(histories, k=5)
+    assert len(recs) == 5 and all(len(r) == 5 for r in recs)
+    for h, batched in zip(histories, recs):
+        solo = recommender.recommend([h], k=5)[0]
+        assert [r.item_id for r in batched] == [r.item_id for r in solo]
+
+
 def test_score_candidates(recommender):
     ranking = recommender.score_candidates(["i0"], ["i5", "i6", "unknown"])
     assert len(ranking) == 3

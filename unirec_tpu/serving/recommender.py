@@ -226,9 +226,18 @@ class Recommender:
         ``MAX_IN_FLIGHT`` un-fetched batches on the device — bounded HBM for
         arbitrarily large offline sweeps, no per-batch sync for small ones.
         """
+        chunks = self._encode_user_chunks(histories)
+        return np.concatenate(
+            [np.asarray(emb, np.float32)[:n] for emb, n in chunks], axis=0
+        )
+
+    def _encode_user_chunks(self, histories: Sequence[Sequence[str]]):
+        """[(device embedding chunk [bs, D], n_valid), ...] — embeddings stay
+        ON DEVICE so ranking can consume them without a host round trip
+        (each chunk would otherwise cross the ~7 MB/s tunnel twice)."""
         from collections import deque
 
-        out: List[np.ndarray] = []
+        out = []
         pending: deque = deque()
         bs = self.batch_size
         for i in range(0, len(histories), bs):
@@ -251,11 +260,14 @@ class Recommender:
             pending.append((emb, n))
             if len(pending) >= self.MAX_IN_FLIGHT:
                 emb0, n0 = pending.popleft()
-                out.append(np.asarray(emb0, np.float32)[:n0])
-        while pending:
-            emb0, n0 = pending.popleft()
-            out.append(np.asarray(emb0, np.float32)[:n0])
-        return np.concatenate(out, axis=0)
+                # bound the dispatch queue (queued batches pin their input
+                # buffers): one-element fetch = one tunnel RTT, not a full
+                # [bs, D] transfer (block_until_ready does not sync through
+                # the axon tunnel — CLAUDE.md)
+                float(emb0[0, 0])
+                out.append((emb0, n0))
+        out.extend(pending)
+        return out
 
     # -- ranking -----------------------------------------------------------
 
@@ -265,22 +277,36 @@ class Recommender:
         k: int = 10,
         exclude_history: bool = True,
     ) -> List[List[Recommendation]]:
-        """Top-k catalog items per user (full-catalog retrieval)."""
-        users = self.encode_users(histories)
+        """Top-k catalog items per user (full-catalog retrieval).
+
+        User embeddings never leave the device between encoding and
+        ranking; only the [users, k] scores/indices cross the tunnel.
+        Retrieval runs as ONE kernel call over all chunks: its cost is
+        dominated by the catalog scan (per-CALL, independent of the user
+        batch), so per-chunk ranking would multiply it by the chunk count
+        (measured 4.5x slower at 128 users / batch 16).  The concatenated
+        shape is a multiple of batch_size, so retrieval retraces per
+        distinct CHUNK COUNT, not per user count.
+        """
+        chunks = self._encode_user_chunks(histories)
         fetch = k + (self.jc.num_history_items if exclude_history else 0)
+        users_dev = jnp.concatenate([emb for emb, _ in chunks], axis=0).astype(
+            jnp.float32
+        )
         if self.quantized:
             from unirec_tpu.ops.quantization import retrieve_top_k_int8
 
-            scores, idx = retrieve_top_k_int8(
-                jnp.asarray(users), self._catalog_q, self._catalog_scales,
-                k=fetch,
+            s, ix = retrieve_top_k_int8(
+                users_dev, self._catalog_q, self._catalog_scales, k=fetch
             )
         else:
-            scores, idx = retrieve_top_k(
-                jnp.asarray(users), self._catalog_dev, k=fetch
-            )
-        scores = np.asarray(scores)
-        idx = np.asarray(idx)
+            s, ix = retrieve_top_k(users_dev, self._catalog_dev, k=fetch)
+        s, ix = np.asarray(s), np.asarray(ix)
+        keep = np.concatenate(
+            [np.arange(i * self.batch_size, i * self.batch_size + n)
+             for i, (_, n) in enumerate(chunks)]
+        )
+        scores, idx = s[keep], ix[keep]
         results: List[List[Recommendation]] = []
         for u, history in enumerate(histories):
             seen = set(map(str, history)) if exclude_history else set()
