@@ -2,6 +2,7 @@
 
 import json
 import threading
+import time
 import urllib.request
 
 import jax
@@ -194,6 +195,131 @@ def test_concurrent_requests_are_micro_batched(recommender):
         assert [r.item_id for r in direct] == [r["item_id"] for r in via]
     finally:
         server.shutdown()
+        batcher.close()
+
+
+class _StubRecommender:
+    """Minimal Recommender stand-in for batcher-level tests."""
+
+    def __init__(self, poison=None):
+        self.batch_size = 4
+        self.catalog_ids = [f"c{j}" for j in range(25)]
+        self.poison = poison
+        self.calls = []
+
+    def recommend(self, histories, k=10):
+        self.calls.append([list(h) for h in histories])
+        if self.poison is not None and any(
+            self.poison in h for h in histories
+        ):
+            raise ValueError("poisoned request")
+        return [
+            [type("R", (), {"item_id": c, "score": 1.0})()
+             for c in self.catalog_ids[:k]]
+            for _ in histories
+        ]
+
+
+def test_batcher_isolates_failing_request():
+    """A request that makes the batched call raise must not 500 its
+    co-batched neighbors: the batcher retries each request solo and only
+    the offender surfaces the error."""
+    from unirec_tpu.serving.batching import MicroBatcher
+
+    rec = _StubRecommender(poison="bad")
+    batcher = MicroBatcher(rec, max_wait_ms=100.0, request_timeout_s=10.0)
+    results, errors = {}, {}
+
+    def client(i, history):
+        try:
+            results[i] = batcher.recommend(history, k=3)
+        except Exception as e:
+            errors[i] = e
+
+    threads = [
+        threading.Thread(target=client, args=(i, h))
+        for i, h in enumerate([["a"], ["bad"], ["c"]])
+    ]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert set(results) == {0, 2} and all(
+            len(r) == 3 for r in results.values()
+        )
+        assert set(errors) == {1}
+        assert isinstance(errors[1], ValueError)
+    finally:
+        batcher.close()
+
+
+def test_batcher_k_bucketing_caps_at_catalog():
+    from unirec_tpu.serving.batching import MicroBatcher
+
+    rec = _StubRecommender()
+    batcher = MicroBatcher(rec, max_wait_ms=1.0, request_timeout_s=10.0)
+    try:
+        out = batcher.recommend(["x"], k=3)
+        assert len(out) == 3
+        # bucketed to 10, not 3 (shared retrieval shape for mixed-k traffic)
+        assert rec.calls and len(rec.calls[-1]) == rec.batch_size
+        out = batcher.recommend(["x"], k=23)
+        assert len(out) == 23  # capped internally at 25 then sliced
+    finally:
+        batcher.close()
+
+
+def test_batcher_close_rejects_promptly():
+    """After close(): new calls fail fast and queued requests are rejected
+    instead of sleeping out the full request timeout."""
+    from unirec_tpu.serving.batching import MicroBatcher, _Pending
+
+    batcher = MicroBatcher(_StubRecommender(), request_timeout_s=60.0)
+    batcher.close()
+    t0 = time.time()
+    with pytest.raises(RuntimeError):
+        batcher.recommend(["x"], k=3)
+    assert time.time() - t0 < 5.0
+    # a request stuck in the queue at shutdown gets an error, not a hang
+    p = _Pending(["y"], 3)
+    batcher._q.put(p)
+    batcher.close()
+    assert p.event.is_set() and isinstance(p.error, RuntimeError)
+
+
+def test_server_validates_k(recommender):
+    from unirec_tpu.serving.server import make_server
+
+    server, batcher = make_server(recommender, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        for bad_k in (0, -1, 10**6, "abc"):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/recommend",
+                data=json.dumps({"history": ["i0"], "k": bad_k}).encode(),
+                method="POST",
+            )
+            try:
+                urllib.request.urlopen(req, timeout=30)
+                assert False, f"expected 400 for k={bad_k!r}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, (bad_k, e.code)
+    finally:
+        server.shutdown()
+        batcher.close()
+
+
+def test_make_server_warmup_runs_a_batch(recommender):
+    from unirec_tpu.serving.server import make_server
+
+    server, batcher = make_server(recommender, port=0, warmup=True)
+    try:
+        assert batcher.batches_run >= 1
+    finally:
+        server.server_close()
         batcher.close()
 
 

@@ -187,27 +187,9 @@ def kv_cached_greedy_generate(
         visible = key_pos[None, None, None, :] <= (n_q + t)
         bias = jnp.where(visible, 0.0, NEG_INF).astype(jnp.float32)
 
-        new_k, new_v = [], []
-        for i in range(cfg.num_hidden_layers):
-            lp = bert["encoder"][f"layer_{i}"]
-            att = lp["attention"]
-            q = split_heads(_dense(h, att["query"]), heads)   # [B,H,1,hd]
-            k = split_heads(_dense(h, att["key"]), heads)
-            v = split_heads(_dense(h, att["value"]), heads)
-            kc = jax.lax.dynamic_update_slice(
-                k_cache[i], k, (0, 0, n_q + t, 0)
-            )
-            vc = jax.lax.dynamic_update_slice(
-                v_cache[i], v, (0, 0, n_q + t, 0)
-            )
-            new_k.append(kc)
-            new_v.append(vc)
-            ctx = merge_heads(_attend(q, kc, vc, bias))
-            h = _ln(
-                _dense(ctx, att["output_dense"]) + h,
-                att["output_LayerNorm"], eps,
-            )
-            h = _ffn(h, lp["ffn"], eps)
+        h, k_cache, v_cache = _decode_step(
+            bert, cfg, h, k_cache, v_cache, bias, t, n_q
+        )
 
         logits = _lm_logits(h, cls, eps)[:, 0]  # [B, V]
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -223,7 +205,7 @@ def kv_cached_greedy_generate(
             (0, write),
         )
         finished = finished | (next_tok == eos_token_id)
-        return (ids, finished, jnp.stack(new_k), jnp.stack(new_v)), None
+        return (ids, finished, k_cache, v_cache), None
 
     (ids, _, _, _), _ = jax.lax.scan(
         step, (ids, finished, k_cache, v_cache),

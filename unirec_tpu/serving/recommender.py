@@ -104,32 +104,19 @@ class Recommender:
             self._qweights = quantize_qwen3_weights(params)
 
         # user forward with L2 norm fused in (one less host round trip).
-        # qweights ride as a jit ARGUMENT (a closure capture would bake the
-        # 0.6 GB int8 tree into the executable as constants).
-        if self._qweights is not None:
-            inner = jax.jit(
-                lambda p, qw, ids, m, he, hm: l2_normalize(
-                    self.model.apply(
-                        dict(
-                            ({"params": p} if "params" not in p else p),
-                            qweights=qw,
-                        ),
-                        ids, m, he, hm,
-                    )
-                )
-            )
-            self._fwd = lambda p, ids, m, he, hm: inner(
-                p, self._qweights, ids, m, he, hm
-            )
-        else:
-            self._fwd = jax.jit(
-                lambda p, ids, m, he, hm: l2_normalize(
-                    self.model.apply(
-                        {"params": p} if "params" not in p else p,
-                        ids, m, he, hm,
-                    )
-                )
-            )
+        # qweights ride as a jit ARGUMENT on EVERY jitted entry point (a
+        # closure capture would bake the 0.6 GB int8 tree into the
+        # executable as constants and ship it through the remote compile).
+        def _apply(p, qw, ids, m, he, hm):
+            variables = {"params": p} if "params" not in p else dict(p)
+            if qw is not None:
+                variables = dict(variables, qweights=qw)
+            return l2_normalize(self.model.apply(variables, ids, m, he, hm))
+
+        inner = jax.jit(_apply)
+        self._fwd = lambda p, ids, m, he, hm: inner(
+            p, self._qweights, ids, m, he, hm
+        )
         # Device-resident field cache: per-batch history gathers move ON
         # DEVICE so each request batch uploads [B, H] int32 row indices
         # instead of [B, H, F, FD] fp32 embeddings (~9 MB/batch at the
@@ -144,12 +131,10 @@ class Recommender:
             self._cache_mask_dev = jnp.asarray(
                 field_cache.masks, jnp.float32
             )
-            base_fwd = self._fwd
-
-            # cache arrays ride as jit ARGUMENTS (closure captures would
-            # bake 0.57 GB of constants into the executable — see the
-            # qweights note above)
-            def fwd_rows(p, cache_emb, cache_mask, ids, m, rows):
+            # cache arrays AND qweights ride as jit ARGUMENTS (closure
+            # captures would bake 0.57 GB + 0.6 GB of constants into the
+            # executable — see the qweights note above)
+            def fwd_rows(p, qw, cache_emb, cache_mask, ids, m, rows):
                 valid = rows >= 0  # [B, H]
                 safe = jnp.clip(rows, 0, None)
                 he = jnp.where(
@@ -158,11 +143,12 @@ class Recommender:
                     0.0,
                 )
                 hm = jnp.where(valid[..., None], cache_mask[safe], 0.0)
-                return base_fwd(p, ids, m, he, hm)
+                return _apply(p, qw, ids, m, he, hm)
 
             inner_rows = jax.jit(fwd_rows)
             self._fwd_rows = lambda p, ids, m, rows: inner_rows(
-                p, self._cache_emb_dev, self._cache_mask_dev, ids, m, rows
+                p, self._qweights, self._cache_emb_dev, self._cache_mask_dev,
+                ids, m, rows,
             )
 
         # fragment-cached prompt tokenization (serving/prompt_cache.py):
@@ -226,20 +212,39 @@ class Recommender:
         ``MAX_IN_FLIGHT`` un-fetched batches on the device — bounded HBM for
         arbitrarily large offline sweeps, no per-batch sync for small ones.
         """
-        chunks = self._encode_user_chunks(histories)
-        return np.concatenate(
-            [np.asarray(emb, np.float32)[:n] for emb, n in chunks], axis=0
-        )
+        chunks = self._encode_user_chunks(histories, to_host=True)
+        return np.concatenate([emb[:n] for emb, n in chunks], axis=0)
 
-    def _encode_user_chunks(self, histories: Sequence[Sequence[str]]):
-        """[(device embedding chunk [bs, D], n_valid), ...] — embeddings stay
-        ON DEVICE so ranking can consume them without a host round trip
-        (each chunk would otherwise cross the ~7 MB/s tunnel twice)."""
+    def _encode_user_chunks(
+        self, histories: Sequence[Sequence[str]], to_host: bool = False
+    ):
+        """[(embedding chunk [bs, D], n_valid), ...].
+
+        ``to_host=False`` (the ``recommend`` path) keeps chunks ON DEVICE so
+        ranking can consume them without a host round trip (each chunk would
+        otherwise cross the ~7 MB/s tunnel twice) — device HBM then grows
+        with the number of users, which is fine for bounded request batches.
+        ``to_host=True`` (bulk ``encode_users`` sweeps) drains each chunk to
+        numpy as soon as it leaves the in-flight window, keeping at most
+        ``MAX_IN_FLIGHT`` batches of device HBM for arbitrarily large
+        sweeps."""
         from collections import deque
 
         out = []
         pending: deque = deque()
         bs = self.batch_size
+
+        def drain(emb, n):
+            if to_host:
+                out.append((np.asarray(emb, np.float32), n))
+            else:
+                # bound the dispatch queue (queued batches pin their input
+                # buffers): one-element fetch = one tunnel RTT, not a full
+                # [bs, D] transfer (block_until_ready does not sync through
+                # the axon tunnel — CLAUDE.md)
+                float(emb[0, 0])
+                out.append((emb, n))
+
         for i in range(0, len(histories), bs):
             chunk = list(histories[i : i + bs])
             n = len(chunk)
@@ -259,14 +264,12 @@ class Recommender:
                 )
             pending.append((emb, n))
             if len(pending) >= self.MAX_IN_FLIGHT:
-                emb0, n0 = pending.popleft()
-                # bound the dispatch queue (queued batches pin their input
-                # buffers): one-element fetch = one tunnel RTT, not a full
-                # [bs, D] transfer (block_until_ready does not sync through
-                # the axon tunnel — CLAUDE.md)
-                float(emb0[0, 0])
-                out.append((emb0, n0))
-        out.extend(pending)
+                drain(*pending.popleft())
+        while pending:
+            if to_host:
+                drain(*pending.popleft())
+            else:
+                out.append(pending.popleft())
         return out
 
     # -- ranking -----------------------------------------------------------

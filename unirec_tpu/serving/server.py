@@ -60,7 +60,21 @@ def make_handler(recommender: Recommender, batcher: MicroBatcher):
             try:
                 if self.path == "/recommend":
                     history = req.get("history", [])
-                    k = int(req.get("k", 10))
+                    if not isinstance(history, list):
+                        self._send(400, {"error": "history must be a list"})
+                        return
+                    try:
+                        k = int(req.get("k", 10))
+                    except (TypeError, ValueError):
+                        self._send(400, {"error": "k must be an integer"})
+                        return
+                    if not 1 <= k <= len(recommender.catalog_ids):
+                        self._send(
+                            400,
+                            {"error": f"k must be in [1, "
+                                      f"{len(recommender.catalog_ids)}]"},
+                        )
+                        return
                     recs = batcher.recommend(history, k=k)
                     self._send(
                         200,
@@ -87,9 +101,19 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 8099,
     max_wait_ms: float = 3.0,
+    request_timeout_s: float = 600.0,
+    warmup: bool = False,
 ):
-    """(server, batcher) — caller owns serve_forever/shutdown (tests)."""
-    batcher = MicroBatcher(recommender, max_wait_ms=max_wait_ms)
+    """(server, batcher) — caller owns serve_forever/shutdown (tests).
+
+    ``warmup=True`` runs one full-shape batch before returning so the
+    first-request jit compile (minutes through the remote-compile tunnel)
+    is paid before traffic is admitted; ``request_timeout_s`` must cover a
+    compile when warmup is skipped."""
+    batcher = MicroBatcher(recommender, max_wait_ms=max_wait_ms,
+                           request_timeout_s=request_timeout_s)
+    if warmup:
+        batcher.warmup()
 
     class _Server(ThreadingHTTPServer):
         daemon_threads = True
@@ -102,6 +126,6 @@ def make_server(
 
 
 def serve(recommender: Recommender, host: str = "127.0.0.1", port: int = 8099):
-    server, _ = make_server(recommender, host, port)
+    server, _ = make_server(recommender, host, port, warmup=True)
     print(f"serving on http://{host}:{port}")
     server.serve_forever()
