@@ -167,6 +167,8 @@ def main():
               f"fill={(batcher.requests_served-s0)/max(batcher.batches_run-b0,1):.1f}",
               flush=True)
 
+        latencies = []
+
         def client(ci):
             r = np.random.RandomState(ci)
             for _ in range(n_r):
@@ -177,13 +179,16 @@ def main():
                     data=json.dumps({"history": h, "k": 10}).encode(),
                     method="POST",
                 )
+                t_req = time.time()
                 with urllib.request.urlopen(req, timeout=120) as resp:
                     out = json.loads(resp.read())
                     assert len(out["items"]) == 10
+                latencies.append(time.time() - t_req)
 
         # warm one round (compile/caches) before timing
         threads = [threading.Thread(target=lambda: client(999))]
         threads[0].start(); threads[0].join()
+        latencies.clear()
         served0, batches0 = batcher.requests_served, batcher.batches_run
         def safe_client(ci):
             try:
@@ -204,10 +209,17 @@ def main():
         total = n_c * n_r
         served = batcher.requests_served - served0
         batches = batcher.batches_run - batches0
+        lat = np.sort(np.asarray(latencies)) * 1000.0 if latencies else None
+        pct = (
+            f" p50_ms={lat[int(0.50*(len(lat)-1))]:.0f}"
+            f" p95_ms={lat[int(0.95*(len(lat)-1))]:.0f}"
+            f" p99_ms={lat[int(0.99*(len(lat)-1))]:.0f}"
+            if lat is not None else ""
+        )
         print(
             f"RESULT http clients={n_c} reqs={total} errors={len(errors)} "
             f"users_per_s={total/dt:.1f} batches={batches} "
-            f"avg_batch_fill={served/max(batches,1):.1f}",
+            f"avg_batch_fill={served/max(batches,1):.1f}{pct}",
             flush=True,
         )
         server.shutdown()

@@ -240,6 +240,134 @@ def item_stage(cache, users, fields, masks, steps=400, batch=64, lr=1e-3,
 
 
 # ---------------------------------------------------------------------------
+# Stage 1.5: user Q-Former to convergence
+# ---------------------------------------------------------------------------
+
+
+def user_stage(users, fields, masks, steps=300, batch=32, lr=1e-3, seed=3):
+    """Next-item token prediction (reference: user_qformer_training.py:17-68,
+    199-213 — MSE between UserQFormer(seq) and the next item's query tokens,
+    AdamW).  Item tokens are a fixed linear image of the corpus fields, so
+    they inherit the latent preference structure and the next item is
+    learnable from the history."""
+    from training.user_qformer_training import UserQFormer as RefUserQFormer
+
+    from unirec_tpu.configs import UserQFormerConfig
+    from unirec_tpu.models.user_qformer import UserQFormer as FlaxUserQFormer
+    from unirec_tpu.utils.torch_convert import convert_user_qformer
+
+    K_PRED, L_ITEMS = 4, 8  # tokens per item; max history items in a window
+    rng = np.random.RandomState(seed)
+    proj = (rng.randn(F * WIDTH, K_PRED * HIDDEN)
+            / np.sqrt(F * WIDTH)).astype(np.float32)
+    tokens = (
+        (fields * masks[..., None]).reshape(N_ITEMS, F * WIDTH) @ proj
+    ).reshape(N_ITEMS, K_PRED, HIDDEN) * 3.0
+
+    row = {f"i{k}": k for k in range(N_ITEMS)}
+    split = int(0.9 * len(users))
+
+    def windows(us):
+        seq_len = L_ITEMS * K_PRED
+        inp, msk, tgt = [], [], []
+        for u in us:
+            hist = [row[i] for i in u["history"]]
+            for j in range(3, len(hist)):
+                ctx = hist[max(0, j - L_ITEMS): j]
+                x = np.zeros((seq_len, HIDDEN), np.float32)
+                m = np.zeros((seq_len,), np.float32)
+                flat = tokens[ctx].reshape(-1, HIDDEN)
+                x[: len(flat)] = flat
+                m[: len(flat)] = 1.0
+                inp.append(x)
+                msk.append(m)
+                tgt.append(tokens[hist[j]])
+        return (np.stack(inp), np.stack(msk), np.stack(tgt))
+
+    tr_inp, tr_msk, tr_tgt = windows(users[:split])
+    va_inp, va_msk, va_tgt = windows(users[split:])
+
+    torch.manual_seed(seed)
+    tmodel = RefUserQFormer(
+        hidden_size=HIDDEN, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, intermediate_size=FFN,
+        num_query_tokens=8, input_embedding_dim=HIDDEN,
+        num_item_tokens_to_predict=K_PRED, dropout=0.0,
+    )
+    tmodel.train()
+    criterion = torch.nn.MSELoss()
+    # reference: optim.AdamW(model.parameters(), lr=...) — default wd 0.01
+    topt = torch.optim.AdamW(tmodel.parameters(), lr=lr, weight_decay=0.01)
+
+    ucfg = UserQFormerConfig(
+        hidden_size=HIDDEN, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, intermediate_size=FFN,
+        num_query_tokens=8, input_embedding_dim=HIDDEN,
+        num_item_tokens_to_predict=K_PRED, dropout=0.0,
+    )
+    fmodel = FlaxUserQFormer(ucfg)
+    init = fmodel.init(
+        jax.random.PRNGKey(0), jnp.asarray(tr_inp[:2]), jnp.asarray(tr_msk[:2])
+    )["params"]
+    params = prune_to_structure(
+        convert_user_qformer(tmodel.state_dict(), ucfg), jax.device_get(init)
+    )
+    state = TrainState.create(
+        apply_fn=fmodel.apply, params=params,
+        tx=make_optimizer(OptimizerConfig(learning_rate=lr, weight_decay=0.01)),
+    )
+
+    @jax.jit
+    def step(state, inp, msk, tgt):
+        def loss_fn(p):
+            pred = fmodel.apply({"params": p}, inp, msk)
+            return jnp.mean((pred - tgt) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    for s in range(steps):
+        idx = rng.randint(0, len(tr_inp), batch)
+        bi, bm, bt = tr_inp[idx], tr_msk[idx], tr_tgt[idx]
+        pred = tmodel(torch.tensor(bi), torch.tensor(bm))
+        loss = criterion(pred, torch.tensor(bt))
+        topt.zero_grad()
+        loss.backward()
+        topt.step()
+        state, _ = step(state, jnp.asarray(bi), jnp.asarray(bm),
+                        jnp.asarray(bt))
+
+    def pred_metrics(pred):
+        mse = float(np.mean((pred - va_tgt) ** 2))
+        o = va_tgt / np.maximum(
+            np.linalg.norm(va_tgt, axis=-1, keepdims=True), 1e-12)
+        r = pred / np.maximum(
+            np.linalg.norm(pred, axis=-1, keepdims=True), 1e-12)
+        return mse, float(np.mean((o * r).sum(-1)))
+
+    tmodel.eval()
+    with torch.no_grad():
+        t_pred = tmodel(torch.tensor(va_inp), torch.tensor(va_msk)).numpy()
+    f_pred = np.asarray(
+        fmodel.apply({"params": state.params}, jnp.asarray(va_inp),
+                     jnp.asarray(va_msk))
+    )
+    t_mse, t_cos = pred_metrics(t_pred)
+    f_mse, f_cos = pred_metrics(f_pred)
+    base = float(np.mean(va_tgt ** 2))  # predict-zero baseline
+    return {
+        "stage": "user",
+        "steps": steps,
+        "val_windows": len(va_inp),
+        "predict_zero_mse": round(base, 4),
+        "reference": {"val_pred_mse": round(t_mse, 4),
+                      "val_token_cosine": round(t_cos, 4)},
+        "unirec_tpu": {"val_pred_mse": round(f_mse, 4),
+                       "val_token_cosine": round(f_cos, 4)},
+    }
+
+
+# ---------------------------------------------------------------------------
 # Stage 2: joint Qwen3+LoRA to convergence
 # ---------------------------------------------------------------------------
 
@@ -425,6 +553,8 @@ def main():
     cache, emb_dict, item_dict, users, fields, masks = make_corpus()
     r1 = item_stage(cache, users, fields, masks)
     print(json.dumps(r1), flush=True)
+    r15 = user_stage(users, fields, masks)
+    print(json.dumps(r15), flush=True)
     r2 = joint_stage(cache, emb_dict, item_dict, users)
     print(json.dumps(r2), flush=True)
 
