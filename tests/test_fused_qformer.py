@@ -77,6 +77,33 @@ def test_fused_masked_field_invariance(setup):
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-5)
 
 
+def test_fused_all_masked_item_matches_model(setup):
+    """An item with ZERO valid fields must produce the same output as the
+    per-item XLA path, independent of the other items sharing its tile."""
+    model, params, fields, mask = setup
+    mask2 = mask.copy()
+    mask2[3] = 0.0  # item 3: no valid fields at all
+    ref = model.apply(params, jnp.asarray(fields), jnp.asarray(mask2))[
+        "query_outputs"
+    ]
+    fused = prepare_fused_params(params, CFG, dtype=jnp.float32)
+    out = fused_qformer_forward(
+        fused, CFG, jnp.asarray(fields), jnp.asarray(mask2), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+    )
+    # batch-composition independence for the all-masked item
+    poisoned = fields.copy()
+    poisoned[4] += 100.0
+    out_b = fused_qformer_forward(
+        fused, CFG, jnp.asarray(poisoned), jnp.asarray(mask2), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[3]), np.asarray(out_b[3]), atol=1e-5
+    )
+
+
 def test_supports_fused_gate():
     assert supports_fused(CFG)
     assert supports_fused(ItemQFormerConfig())  # production config

@@ -172,7 +172,10 @@ def _cross_block_kernel_q(
 
     qi = jax.lax.broadcasted_iota(jnp.int32, (t, t_m), 0) // n_q
     ki = jax.lax.broadcasted_iota(jnp.int32, (t, t_m), 1) // n_kv
-    bias = jnp.where(qi == ki, 0.0, NEG_INF).astype(jnp.float32)
+    # cross-item block mask strictly below the key mask (-2e9 < -1e9) so
+    # all-masked items stay within their own block (see
+    # fused_qformer_layer.py)
+    bias = jnp.where(qi == ki, 0.0, 2.0 * NEG_INF).astype(jnp.float32)
     bias = bias + kbias_ref[0].astype(jnp.float32)
 
     for h in range(num_heads):

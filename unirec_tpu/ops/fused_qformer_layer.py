@@ -166,7 +166,11 @@ def _cross_block_kernel(
 
     qi = jax.lax.broadcasted_iota(jnp.int32, (t, t_m), 0) // n_q
     ki = jax.lax.broadcasted_iota(jnp.int32, (t, t_m), 1) // n_kv
-    bias = jnp.where(qi == ki, 0.0, NEG_INF).astype(jnp.float32)
+    # cross-ITEM block mask strictly below the per-key mask (-2e9 < -1e9):
+    # for an item with ZERO valid fields, softmax then spreads uniformly
+    # over its OWN masked keys — matching the per-item XLA path — instead
+    # of leaking attention onto other items packed in the same tile
+    bias = jnp.where(qi == ki, 0.0, 2.0 * NEG_INF).astype(jnp.float32)
     bias = bias + kbias_ref[0].astype(jnp.float32)  # [1, T_m] broadcast
 
     for h in range(num_heads):

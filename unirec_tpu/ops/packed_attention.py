@@ -54,7 +54,10 @@ def _packed_kernel(
     # of item i
     qi = jax.lax.broadcasted_iota(jnp.int32, (rows_q, rows_kv), 0) // n_q
     ki = jax.lax.broadcasted_iota(jnp.int32, (rows_q, rows_kv), 1) // n_kv
-    block_mask = jnp.where(qi == ki, 0.0, NEG_INF).astype(jnp.float32)
+    # cross-item mask strictly below the key mask (-2e9 < -1e9): an item
+    # with zero valid keys then attends uniformly over its OWN keys (the
+    # per-item XLA behavior) instead of other items in the tile
+    block_mask = jnp.where(qi == ki, 0.0, 2.0 * NEG_INF).astype(jnp.float32)
     if bias_ref is not None:
         # [1, P*F] row broadcasts over query rows; kept 2-D (Mosaic rejects
         # 1-D flattens of minor-dim merges)

@@ -2,9 +2,13 @@
 
 A serving-scale feature beyond the reference (which ranks 100-candidate pools
 in fp32): the item catalog is stored as int8 rows with per-row scales — 4x
-less HBM — and scored against bf16/fp32 user embeddings with the MXU's int8
-path.  Cosine ranking is scale-invariant per user, so per-row dequantization
-reduces to one multiply on the [B, N] scores.
+less HBM and 4x less catalog-stream traffic through VMEM, which is where
+retrieval's time goes (the scan is memory-bound: the whole catalog crosses
+HBM per call while the [BU, BN] score matmul is tiny).  The kernel dequantizes
+catalog blocks to fp32 in VMEM and scores on the fp32 MXU path — an
+int8xint8 dot would need the users quantized too and buys nothing when the
+matmul is not the bottleneck.  Cosine ranking is scale-invariant per user, so
+per-row dequantization reduces to one multiply on the [B, N] scores.
 
 Kernels follow the quantization patterns of the Pallas guide (stochastic
 rounding optional for training-time quantization; deterministic round-to-

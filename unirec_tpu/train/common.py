@@ -27,12 +27,9 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     clip 1.0 on the joint run (train_item_individual_token_joint.py:768-769).
     """
     if cfg.warmup_steps > 0:
-        schedule = optax.linear_schedule(
-            0.0, cfg.learning_rate, cfg.warmup_steps
-        )
-        lr = lambda step: jnp.where(
-            step < cfg.warmup_steps, schedule(step), cfg.learning_rate
-        )
+        # linear_schedule clamps at transition_steps, so it already holds
+        # cfg.learning_rate for every step >= warmup_steps
+        lr = optax.linear_schedule(0.0, cfg.learning_rate, cfg.warmup_steps)
     else:
         lr = cfg.learning_rate
     tx = optax.adamw(

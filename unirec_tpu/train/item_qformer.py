@@ -65,6 +65,11 @@ def sample_negatives(
 ) -> np.ndarray:
     """Random negative != anchor and != positive
     (reference: training/item_qformer_training.py:32-34)."""
+    if num_items <= 2:
+        # every item is the anchor or the positive of some pair —
+        # rejection sampling would loop forever; fall back to any
+        # different item (or the anchor itself when there is only one)
+        return ((pairs[:, 0] + 1) % max(num_items, 1)).astype(np.int32)
     neg = rng.integers(0, num_items, size=len(pairs)).astype(np.int32)
     bad = (neg == pairs[:, 0]) | (neg == pairs[:, 1])
     while bad.any():
@@ -81,6 +86,7 @@ def make_train_step(
     fused_reference_config=None,
     fused_precision: str = "bf16",
     return_grads: bool = False,
+    seed: int = 0,
 ):
     """One jitted step. ``fused_reference_config``: when set (an
     ItemQFormerConfig), the no-gradient positive/negative forwards run
@@ -115,8 +121,12 @@ def make_train_step(
 
     def step(state: TrainState, batch):
         # hardware-rng dropout bits (see train/joint.py: threefry measured
-        # ~60 ms/step at the joint scale; same seed+fold_in determinism)
-        rng = jax.random.fold_in(jax.random.key(0, impl="rbg"), state.step)
+        # ~60 ms/step at the joint scale; same seed+fold_in determinism);
+        # the configured seed feeds the key so different-seed runs draw
+        # different dropout masks
+        rng = jax.random.fold_in(
+            jax.random.key(seed, impl="rbg"), state.step
+        )
 
         def loss_fn(params):
             anc = model.apply(
@@ -235,6 +245,7 @@ class ItemQFormerTrainer:
             self.model, self.reconstruction_weight, self.contrastive_weight,
             fused_reference_config=self.model_config if use_fused else None,
             fused_precision=self.fused_precision,
+            seed=self.train_config.seed,
         )
         self._train_step = data_parallel_jit(step, self.mesh)
         self._eval_step = make_eval_step(self.model)
@@ -304,10 +315,21 @@ class ItemQFormerTrainer:
         total_mse, total_cos, total_fields, n_batches = 0.0, 0.0, 0.0, 0
         for i in range(0, len(rows), batch_size):
             r = rows[i : i + batch_size]
+            emb, mask = cache.embeddings[r], cache.masks[r]
+            if len(r) < batch_size:
+                # pad the tail to the compiled shape with ZERO masks (the
+                # metrics are mask-normalized, so pad rows contribute
+                # nothing) — a ragged final batch would retrace through
+                # the minutes-long remote compile (CLAUDE.md)
+                pad = batch_size - len(r)
+                emb = np.concatenate(
+                    [emb, np.zeros_like(emb[:1]).repeat(pad, 0)]
+                )
+                mask = np.concatenate(
+                    [mask, np.zeros_like(mask[:1]).repeat(pad, 0)]
+                )
             mse, cos_sum, n_valid = self._eval_step(
-                state.params,
-                jnp.asarray(cache.embeddings[r]),
-                jnp.asarray(cache.masks[r]),
+                state.params, jnp.asarray(emb), jnp.asarray(mask)
             )
             total_mse += float(mse)
             total_cos += float(cos_sum)

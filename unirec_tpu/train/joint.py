@@ -18,6 +18,7 @@ TPU-native rebuild of the flagship trainer
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -151,9 +152,14 @@ class JointDataset:
                 self._neg_rows[i, j] = emb_row.get(str(c), 0)
             self._neg_valid[i, : len(neg_ids)] = 1.0
 
-        self._tok_ids = np.zeros((n, jc.max_length), np.int32)
-        self._tok_mask = np.zeros((n, jc.max_length), np.float32)
-        self._tok_done = np.zeros(n, bool)
+        # the tokenization memo depends only on (data, item_dict, tokenizer,
+        # max_length) — none of which the emb setters change — so a rebuild
+        # triggered by swapping candidate embeddings keeps it (re-tokenizing
+        # the whole dataset on this 1-core host is the expensive part)
+        if not hasattr(self, "_tok_ids") or len(self._tok_done) != n:
+            self._tok_ids = np.zeros((n, jc.max_length), np.int32)
+            self._tok_mask = np.zeros((n, jc.max_length), np.float32)
+            self._tok_done = np.zeros(n, bool)
         self._tables_dirty = False
 
     def _tokenize_rows(self, idx: np.ndarray) -> None:
@@ -213,14 +219,17 @@ def make_joint_train_step(
     model: MultiModalQwenEmbedding,
     temperature: float = 0.07,
     return_grads: bool = False,
+    seed: int = 1,
 ):
     def step(state: TrainState, batch):
         # rbg dropout bits: the threefry2x32 bit generator costs ~60 ms per
         # step at batch 8/seq 512 on v5e (28 layers of [B,L,*] masks);
         # the hardware rng path measured 192.6 -> 120.1 ms for the same
         # fwd+bwd (BASELINE.md round 4). Same determinism contract
-        # (seed + fold_in(step)), different (equally valid) random bits.
-        rng = jax.random.fold_in(jax.random.key(1, impl="rbg"), state.step)
+        # (configured seed + fold_in(step)), different (equally valid) bits.
+        rng = jax.random.fold_in(
+            jax.random.key(seed, impl="rbg"), state.step
+        )
 
         def loss_fn(params):
             # stop_gradient on the frozen base subtree: XLA prunes the dW
@@ -258,6 +267,16 @@ def make_joint_train_step(
         return state, metrics
 
     return step
+
+
+@functools.lru_cache(maxsize=1)
+def _jitted_rank_of_positive():
+    """Module-cached jit of ops.ranking.rank_of_positive: evaluate() runs
+    every N steps from the CLI hook, and a fresh jax.jit wrapper per call
+    would re-trace (and re-lower) each evaluation on the 1-core host."""
+    from unirec_tpu.ops.ranking import rank_of_positive
+
+    return jax.jit(rank_of_positive)
 
 
 def make_joint_optimizer(
@@ -315,7 +334,9 @@ class JointTrainer:
         self.mesh = make_mesh(self.train_config.mesh)
         self.dp_size = self.mesh.shape["dp"]
         self.tp_size = self.mesh.shape["tp"]
-        self._raw_step = make_joint_train_step(self.model)
+        self._raw_step = make_joint_train_step(
+            self.model, seed=self.train_config.seed
+        )
         self._train_step = None  # jitted lazily once state shardings exist
         self._state_shardings = None
         # plain jit fallback; init_state replaces it with a mesh-sharded
@@ -484,10 +505,9 @@ class JointTrainer:
         Tail batches are padded to ``batch_size`` so every step reuses one
         compiled shape; padded rows' ranks are trimmed before aggregation.
         """
-        from unirec_tpu.ops.ranking import rank_of_positive
         from unirec_tpu.train.common import pad_to_batch
 
-        rank_fn = jax.jit(rank_of_positive)
+        rank_fn = _jitted_rank_of_positive()
         ranks: List[np.ndarray] = []
         # the sharded eval forward splits the batch over dp
         batch_size = batch_size + (-batch_size) % self.dp_size

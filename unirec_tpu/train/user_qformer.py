@@ -89,9 +89,22 @@ def precompute_item_tokens(
     outs = []
     n = len(cache)
     for i in range(0, n, batch_size):
-        emb = jnp.asarray(cache.embeddings[i : i + batch_size])
-        mask = jnp.asarray(cache.masks[i : i + batch_size])
-        outs.append(np.asarray(fwd(emb, mask), np.float32))
+        emb = cache.embeddings[i : i + batch_size]
+        mask = cache.masks[i : i + batch_size]
+        got = len(emb)
+        if got < batch_size:
+            # pad the tail to the compiled shape: a ragged final batch
+            # would retrace and pay a fresh minutes-long remote compile
+            # (CLAUDE.md eval-pad invariant)
+            pad = batch_size - got
+            emb = np.concatenate([emb, np.zeros_like(emb[:1]).repeat(pad, 0)])
+            mask = np.concatenate(
+                [mask, np.zeros_like(mask[:1]).repeat(pad, 0)]
+            )
+        outs.append(
+            np.asarray(fwd(jnp.asarray(emb), jnp.asarray(mask)),
+                       np.float32)[:got]
+        )
     return np.concatenate(outs, axis=0)
 
 
@@ -133,9 +146,14 @@ class UserQFormerTrainer:
             # remat them alongside the Q-Former layers (BASELINE.md round 3)
             seq_apply = jax.checkpoint(seq_model.apply)
 
+        seed = self.train_config.seed
+
         def step(state: TrainState, batch):
-            # hardware-rng dropout bits (see train/joint.py)
-            rng = jax.random.fold_in(jax.random.key(2, impl="rbg"), state.step)
+            # hardware-rng dropout bits (see train/joint.py); the
+            # configured seed feeds the key
+            rng = jax.random.fold_in(
+                jax.random.key(seed, impl="rbg"), state.step
+            )
 
             def loss_fn(params):
                 seq_params = params["sequence"]
@@ -155,7 +173,13 @@ class UserQFormerTrainer:
                     deterministic=False,
                     rngs={"dropout": rng},
                 )
-                return mse_loss(pred, batch["target_tokens"])
+                w = batch.get("sample_weight")
+                if w is None:  # static: decided by the batch's pytree keys
+                    return mse_loss(pred, batch["target_tokens"])
+                per = jnp.mean(
+                    (pred - batch["target_tokens"]) ** 2, axis=(1, 2)
+                )
+                return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             state = state.apply_gradients(grads=grads)
@@ -220,6 +244,7 @@ class UserQFormerTrainer:
         coords = np.zeros((n, s_max, 2), np.float32)
         seq_mask = np.zeros((n, s_max), np.float32)
         targets = np.zeros((n, k, d), np.float32)
+        weights = np.ones((n,), np.float32)
         for bi, si in enumerate(indices):
             hist, target = samples[si]
             hist = hist[-s_max:]
@@ -227,16 +252,26 @@ class UserQFormerTrainer:
             valid = rows >= 0
             toks[bi, : len(hist)][valid] = item_tokens[rows[valid]]
             ts[bi, : len(hist)] = [timestamp_map.get(h, 0) for h in hist]
-            seq_mask[bi, : len(hist)] = 1.0
+            # history items missing from the cache stay masked out — a
+            # seq_mask of 1 would make the model attend a zero embedding
+            # as if it were a real event
+            seq_mask[bi, : len(hist)] = valid.astype(np.float32)
             trow = cache.rows_for([target])[0]
             if trow >= 0:
                 targets[bi] = item_tokens[trow]
+            else:
+                # target item not in the cache: MSE against an all-zero
+                # target would actively pull predictions to the zero
+                # vector — zero-weight the sample out of the loss instead
+                # of corrupting the objective
+                weights[bi] = 0.0
         return {
             "item_tokens": toks,
             "timestamps": ts,
             "coordinates": coords,
             "seq_mask": seq_mask,
             "target_tokens": targets,
+            "sample_weight": weights,
         }
 
     def train_epoch(
