@@ -354,3 +354,112 @@ class PipelinedQwen3:
 
         norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps, dtype=self.dtype)
         return norm.apply({"params": rest["norm"]}, out)
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: the joint model with a pipelined backbone
+# ---------------------------------------------------------------------------
+
+
+def split_joint_params(params: Dict) -> Tuple[Dict, Dict, Dict]:
+    """MultiModalQwenEmbedding params -> (stacked backbone layers,
+    backbone rest, qformer params) laid out for the pp pipeline."""
+    inner = params["params"] if "params" in params else params
+    stacked, rest = split_layer_params(inner["base_model"])
+    return stacked, rest, inner.get("qformer", {})
+
+
+def merge_joint_params(stacked: Dict, rest: Dict, qformer: Dict) -> Dict:
+    """Inverse of split_joint_params (checkpoint interchange)."""
+    base = merge_layer_params(stacked, rest)["params"]
+    out = {"base_model": base}
+    if qformer:
+        out["qformer"] = qformer
+    return {"params": out}
+
+
+def joint_pp_forward(
+    model,
+    pipe: PipelinedQwen3,
+    stacked: Dict,
+    base_rest: Dict,
+    qformer_params: Dict,
+    input_ids: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    history_field_embeddings: Optional[jax.Array] = None,
+    history_attention_mask: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """The flagship joint forward with the Qwen3 backbone pipelined.
+
+    Semantically identical to ``models.joint.MultiModalQwenEmbedding``
+    (parity-tested, tests/test_pipeline.py): Q-Former over history fields +
+    vectorized query-token injection run under plain GSPMD (dp-sharded batch,
+    replicated over pp — they are ~2 layers of compute vs the 28-layer
+    backbone), then the decoder stack streams through the pp stages.
+    ``pipe`` must be built with the backbone's config/lora/dtype.
+    """
+    from unirec_tpu.models.item_qformer import ItemQFormer
+    from unirec_tpu.models.qwen3 import last_token_pool, mean_pool
+
+    jc = model.joint_config
+    n_special = model.num_special_tokens
+
+    table = base_rest["embed_tokens"].astype(pipe.dtype)
+    if n_special > 0:
+        table = jnp.concatenate(
+            [table, base_rest["extra_embed_tokens"].astype(pipe.dtype)],
+            axis=0,
+        )
+    text_embeds = jnp.take(table, input_ids, axis=0)
+
+    if history_field_embeddings is not None:
+        if history_attention_mask is None:
+            raise ValueError("history_attention_mask required with history")
+        b, num_hist, num_fields, field_dim = history_field_embeddings.shape
+        qformer = ItemQFormer(model.qformer_config, dtype=pipe.dtype)
+        rngs = None
+        if not deterministic:
+            if dropout_rng is None:
+                raise ValueError("dropout requires dropout_rng")
+            # decorrelate from the pipeline's (layer, microbatch) keys
+            rngs = {"dropout": jax.random.fold_in(dropout_rng, 1 << 20)}
+        q_out = qformer.apply(
+            {"params": qformer_params},
+            history_field_embeddings.reshape(
+                b * num_hist, num_fields, field_dim
+            ),
+            history_attention_mask.reshape(b * num_hist, num_fields),
+            deterministic=deterministic,
+            rngs=rngs,
+        )["query_outputs"]
+        k_per_item = jc.num_query_tokens_per_item
+        tokens = q_out[:, :k_per_item, :].reshape(
+            b, num_hist * k_per_item, -1
+        )
+        # vectorized injection — identical math to models/joint.py
+        offset = input_ids - model.first_special_id
+        valid = (offset >= 0) & (offset < n_special)
+        safe = jnp.clip(offset, 0, n_special - 1)
+        gathered = jnp.take_along_axis(
+            tokens.astype(text_embeds.dtype), safe[..., None], axis=1
+        )
+        text_embeds = jnp.where(valid[..., None], gathered, text_embeds)
+
+    hidden = pipe(
+        stacked, base_rest,
+        inputs_embeds=text_embeds,
+        attention_mask=attention_mask,
+        deterministic=deterministic,
+        dropout_rng=dropout_rng,
+    )
+
+    pool = jc.pool
+    if pool == "mean":
+        return mean_pool(hidden)
+    if pool == "masked_mean":
+        return mean_pool(hidden, attention_mask, masked=True)
+    if pool == "last_token":
+        return last_token_pool(hidden, attention_mask)
+    raise ValueError(f"unknown pool {pool}")
