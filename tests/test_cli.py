@@ -308,6 +308,22 @@ def test_full_pipeline_raw_jsonl_to_recommendation(pipeline_dir):
     # history exclusion: recommended items are outside the user's history
     assert not {r.item_id for r in recs} & {"A0", "A7", "A14"}
 
+    # --dp 2: the same CLI assembly sharded over a dp mesh must rank
+    # identically (serving/recommender.py shard_map path)
+    import jax
+
+    if len(jax.devices()) >= 2:
+        rec_dp = build_recommender(parse_args([
+            "--qformer-checkpoint", str(d / "iq_ckpt"),
+            "--cache-dir", str(d / "cache"),
+            "--item-dict", str(d / "triplet_dict.json"),
+            "--catalog", str(d / "qwen_emb32.json"),
+            "--tiny", "--max-length", "64", "--batch-size", "4",
+            "--dp", "2",
+        ]))
+        recs_dp = rec_dp.recommend([["A0", "A7", "A14"]], k=5)[0]
+        assert [r.item_id for r in recs_dp] == [r.item_id for r in recs]
+
 
 def test_tokens_cli_dp_sharded_sweep(pipeline_dir):
     """--dp 8 shards the token-generation sweep over the device mesh; output

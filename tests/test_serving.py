@@ -410,6 +410,41 @@ def test_int8_recommender(recommender):
         )
 
 
+def test_dp_mesh_recommender_matches_single_device(recommender):
+    """Recommender(mesh=dp) shards the user forward AND the retrieval over
+    a dp mesh via shard_map (both contain pallas_calls on TPU; off-TPU the
+    XLA fallbacks run under the same shard_map).  Per-user results must
+    match the single-device path."""
+    from unirec_tpu.configs import MeshConfig
+    from unirec_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = make_mesh(MeshConfig(dp=2, tp=1))
+    catalog = {iid: recommender.catalog[i].tolist()
+               for i, iid in enumerate(recommender.catalog_ids)}
+    dp = Recommender(
+        recommender.model, recommender.params, recommender.tokenizer,
+        recommender.item_dict, recommender.cache, catalog,
+        batch_size=4, mesh=mesh,
+    )
+    histories = [["i0", "i1"], ["i3"], [], ["i2"], ["i4", "i5"]]
+    u_dp = dp.encode_users(histories)
+    u_1 = recommender.encode_users(histories)
+    np.testing.assert_allclose(u_dp, u_1, atol=1e-5, rtol=1e-5)
+    recs_dp = dp.recommend(histories, k=5)
+    recs_1 = recommender.recommend(histories, k=5)
+    for a, b in zip(recs_dp, recs_1):
+        assert [r.item_id for r in a] == [r.item_id for r in b]
+    # batch not divisible by dp: loud error
+    with pytest.raises(ValueError, match="not divisible"):
+        Recommender(
+            recommender.model, recommender.params, recommender.tokenizer,
+            recommender.item_dict, recommender.cache, catalog,
+            batch_size=3, mesh=mesh,
+        )
+
+
 def test_device_field_cache_matches_host_gather(recommender):
     """The device-resident field cache (rows uploaded, gather on device)
     must match the host-gather path to bf16-cast tolerance, including

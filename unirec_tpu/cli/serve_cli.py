@@ -39,6 +39,9 @@ def parse_args(argv=None):
                    help="batch-tokenize all prompt fragments at startup")
     p.add_argument("--tiny", action="store_true",
                    help="tiny Qwen3 config (smoke tests / CPU)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="shard serving over a dp mesh of this many chips "
+                        "(0 = single device); batch-size must divide by it")
     return p.parse_args(argv)
 
 
@@ -126,10 +129,16 @@ def build_recommender(args):
             params["params"]["qformer"], qf_params
         )
 
+    mesh = None
+    if args.dp:
+        from unirec_tpu.configs import MeshConfig
+        from unirec_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(MeshConfig(dp=args.dp, tp=1))
     rec = Recommender(
         model, params, tokenizer, item_dict, cache, catalog,
         batch_size=args.batch_size, quantize_catalog=args.quantize,
-        precision=args.precision,
+        precision=args.precision, mesh=mesh,
     )
     if args.prewarm:
         n = rec.prewarm_prompts()

@@ -152,6 +152,20 @@ class CachedPromptEncoder:
         serving contract, matching Recommender._build_batch) on BOTH the
         fast and the fallback path.
         """
+        ids, length = self.encode_ids(history, max_length)
+        mask = np.zeros(max_length, np.float32)
+        mask[:length] = 1.0
+        return ids, mask
+
+    def encode_ids(
+        self, history: Sequence[str], max_length: int
+    ) -> Tuple[np.ndarray, int]:
+        """(ids row, valid length) — the mask is always a PREFIX mask
+        (right padding on both the fast and the fallback path), so callers
+        that already upload device batches can send one int32 length per
+        user instead of a [L] float mask and rebuild it on device
+        (Recommender._build_batch_rows: halves the per-batch host->device
+        tunnel traffic)."""
         if not self.enabled:
             # same truncation as the fast path (and Recommender._build_batch):
             # keep the LAST n_hist items — construct_input_text alone would
@@ -160,13 +174,12 @@ class CachedPromptEncoder:
                 [str(h) for h in history][-self.n_hist :], self.item_dict,
                 self.n_hist, self.n_q,
             )
-            return self.tok.encode(text, max_length)
+            ids, mask = self.tok.encode(text, max_length)
+            return ids, int(np.asarray(mask).sum())
         ids = self._assemble(history)[:max_length]
         out = np.full(max_length, self.tok.pad_id, np.int32)
         out[: len(ids)] = ids
-        mask = np.zeros(max_length, np.float32)
-        mask[: len(ids)] = 1.0
-        return out, mask
+        return out, len(ids)
 
     # -- verification ---------------------------------------------------------
 

@@ -49,11 +49,20 @@ class Recommender:
         quantize_catalog: bool = False,
         precision: str = "bf16",
         device_field_cache: bool = True,
+        mesh=None,
     ):
         """``precision="int8"`` runs the user-encoding Qwen3 forward with
         int8 (W8A8) projection matmuls (models/qwen3.quantize_qwen3_weights)
         — ~2x MXU throughput for the FLOP-dominant GEMMs.  Opt-in;
-        embedding quality deltas are measured in BASELINE.md."""
+        embedding quality deltas are measured in BASELINE.md.
+
+        ``mesh`` (a dp mesh from parallel.mesh.make_mesh) shards serving over
+        chips: params/caches/catalog replicated, every request batch and the
+        retrieval's user axis split over ``dp`` — near-linear QPS in chips
+        (the forward has zero collectives; each chip scans the catalog for
+        its own user shard).  Both the user forward and the retrieval kernel
+        contain ``pallas_call``s, so dp runs them under ``jax.shard_map``
+        (GSPMD cannot partition pallas — CLAUDE.md)."""
         self.model = model
         self.params = params
         self.tokenizer = tokenizer
@@ -61,6 +70,18 @@ class Recommender:
         self.cache = field_cache
         self.batch_size = batch_size
         self.jc = model.joint_config
+        self.mesh = mesh
+        self.dp_size = int(mesh.shape["dp"]) if mesh is not None else 1
+        if mesh is not None and batch_size % self.dp_size:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by dp mesh size "
+                f"{self.dp_size}"
+            )
+        self._retrievals = {}  # fetch-k -> jitted dp retrieval
+        if mesh is not None:
+            from unirec_tpu.parallel.mesh import replicate
+
+            self.params = params = replicate(mesh, params)
 
         self.catalog_ids: List[str] = list(catalog_embeddings)
         self.catalog = np.asarray(
@@ -78,6 +99,16 @@ class Recommender:
             self._catalog_dev = None
         else:
             self._catalog_dev = jnp.asarray(self.catalog)
+        if mesh is not None:
+            # every chip holds the FULL catalog and scans it for its own
+            # user shard — retrieval is embarrassingly dp, zero collectives
+            from unirec_tpu.parallel.mesh import replicate
+
+            if self.quantized:
+                self._catalog_q = replicate(mesh, self._catalog_q)
+                self._catalog_scales = replicate(mesh, self._catalog_scales)
+            else:
+                self._catalog_dev = replicate(mesh, self._catalog_dev)
 
         if precision not in ("bf16", "int8"):
             raise ValueError(f"precision must be bf16 or int8, got {precision!r}")
@@ -102,6 +133,10 @@ class Recommender:
             from unirec_tpu.models.qwen3 import quantize_qwen3_weights
 
             self._qweights = quantize_qwen3_weights(params)
+            if mesh is not None:
+                from unirec_tpu.parallel.mesh import replicate
+
+                self._qweights = replicate(mesh, self._qweights)
 
         # user forward with L2 norm fused in (one less host round trip).
         # qweights ride as a jit ARGUMENT on EVERY jitted entry point (a
@@ -113,7 +148,25 @@ class Recommender:
                 variables = dict(variables, qweights=qw)
             return l2_normalize(self.model.apply(variables, ids, m, he, hm))
 
-        inner = jax.jit(_apply)
+        if mesh is None:
+            inner = jax.jit(_apply)
+        else:
+            # the forward contains pallas_calls (flash attention / fused
+            # blocks) which GSPMD cannot partition — shard_map hands each
+            # chip its per-shard rows explicitly (CLAUDE.md): params and
+            # qweights replicated, every batch axis split over dp; zero
+            # collectives in the body.
+            from jax.sharding import PartitionSpec as P
+
+            inner = jax.jit(
+                jax.shard_map(
+                    _apply,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp")),
+                    out_specs=P("dp"),
+                    check_vma=False,
+                )
+            )
         self._fwd = lambda p, ids, m, he, hm: inner(
             p, self._qweights, ids, m, he, hm
         )
@@ -131,10 +184,23 @@ class Recommender:
             self._cache_mask_dev = jnp.asarray(
                 field_cache.masks, jnp.float32
             )
+            if mesh is not None:
+                from unirec_tpu.parallel.mesh import replicate
+
+                self._cache_emb_dev = replicate(mesh, self._cache_emb_dev)
+                self._cache_mask_dev = replicate(mesh, self._cache_mask_dev)
             # cache arrays AND qweights ride as jit ARGUMENTS (closure
             # captures would bake 0.57 GB + 0.6 GB of constants into the
-            # executable — see the qweights note above)
-            def fwd_rows(p, qw, cache_emb, cache_mask, ids, m, rows):
+            # executable — see the qweights note above).  The attention mask
+            # is rebuilt ON DEVICE from one int32 length per user (prompt
+            # padding is always a prefix mask — prompt_cache.encode_ids):
+            # uploading [B] lengths instead of [B, L] floats halves the
+            # per-batch tunnel traffic (~32 KB at batch 16 / seq 512 over
+            # the ~7 MB/s link).
+            def fwd_rows(p, qw, cache_emb, cache_mask, ids, lengths, rows):
+                m = (
+                    jnp.arange(ids.shape[1])[None, :] < lengths[:, None]
+                ).astype(jnp.float32)
                 valid = rows >= 0  # [B, H]
                 safe = jnp.clip(rows, 0, None)
                 he = jnp.where(
@@ -145,10 +211,25 @@ class Recommender:
                 hm = jnp.where(valid[..., None], cache_mask[safe], 0.0)
                 return _apply(p, qw, ids, m, he, hm)
 
-            inner_rows = jax.jit(fwd_rows)
-            self._fwd_rows = lambda p, ids, m, rows: inner_rows(
+            if mesh is None:
+                inner_rows = jax.jit(fwd_rows)
+            else:
+                from jax.sharding import PartitionSpec as P
+
+                inner_rows = jax.jit(
+                    jax.shard_map(
+                        fwd_rows,
+                        mesh=mesh,
+                        in_specs=(
+                            P(), P(), P(), P(), P("dp"), P("dp"), P("dp"),
+                        ),
+                        out_specs=P("dp"),
+                        check_vma=False,
+                    )
+                )
+            self._fwd_rows = lambda p, ids, lengths, rows: inner_rows(
                 p, self._qweights, self._cache_emb_dev, self._cache_mask_dev,
-                ids, m, rows,
+                ids, lengths, rows,
             )
 
         # fragment-cached prompt tokenization (serving/prompt_cache.py):
@@ -186,17 +267,21 @@ class Recommender:
         return input_ids, attn, hist_emb, hist_mask
 
     def _build_batch_rows(self, histories: Sequence[Sequence[str]]):
-        """(input_ids, attn, cache rows [B, H]) — the device-gather path."""
+        """(input_ids, lengths [B], cache rows [B, H]) — the device-gather
+        path.  The prefix attention mask is rebuilt on device from lengths
+        (see fwd_rows above)."""
         jc = self.jc
         n = len(histories)
         input_ids = np.zeros((n, jc.max_length), np.int32)
-        attn = np.zeros((n, jc.max_length), np.float32)
+        lengths = np.zeros((n,), np.int32)
         rows = np.full((n, jc.num_history_items), -1, np.int32)
         for i, history in enumerate(histories):
             history = [str(h) for h in history][-jc.num_history_items:]
             rows[i, : len(history)] = self.cache.rows_for(history)
-            input_ids[i], attn[i] = self._prompt.encode(history, jc.max_length)
-        return input_ids, attn, rows
+            input_ids[i], lengths[i] = self._prompt.encode_ids(
+                history, jc.max_length
+            )
+        return input_ids, lengths, rows
 
     # batches allowed in flight on the device before the oldest result is
     # drained: overlaps host assembly with device compute without letting a
@@ -251,9 +336,9 @@ class Recommender:
             while len(chunk) < bs:
                 chunk.append([])  # pad with empty histories
             if self.device_cache:
-                ids, attn, rows = self._build_batch_rows(chunk)
+                ids, lengths, rows = self._build_batch_rows(chunk)
                 emb = self._fwd_rows(
-                    self.params, jnp.asarray(ids), jnp.asarray(attn),
+                    self.params, jnp.asarray(ids), jnp.asarray(lengths),
                     jnp.asarray(rows),
                 )
             else:
@@ -296,14 +381,7 @@ class Recommender:
         users_dev = jnp.concatenate([emb for emb, _ in chunks], axis=0).astype(
             jnp.float32
         )
-        if self.quantized:
-            from unirec_tpu.ops.quantization import retrieve_top_k_int8
-
-            s, ix = retrieve_top_k_int8(
-                users_dev, self._catalog_q, self._catalog_scales, k=fetch
-            )
-        else:
-            s, ix = retrieve_top_k(users_dev, self._catalog_dev, k=fetch)
+        s, ix = self._retrieve(users_dev, fetch)
         s, ix = np.asarray(s), np.asarray(ix)
         keep = np.concatenate(
             [np.arange(i * self.batch_size, i * self.batch_size + n)
@@ -323,6 +401,59 @@ class Recommender:
                     break
             results.append(recs)
         return results
+
+    def _retrieve(self, users_dev, fetch: int):
+        """Top-``fetch`` scores/indices for [U, D] user embeddings.
+
+        Single-chip: direct kernel call.  dp mesh: the retrieval kernel is a
+        ``pallas_call`` too, so it runs under ``shard_map`` — users split
+        over dp, the full catalog replicated on every chip; each chip's
+        top-k over the whole catalog is already final for its users (no
+        cross-chip merge needed).  Wrapped callables are cached per fetch-k
+        (``k`` is static to the kernel)."""
+        if self.quantized:
+            from unirec_tpu.ops.quantization import retrieve_top_k_int8
+
+            if self.mesh is None:
+                return retrieve_top_k_int8(
+                    users_dev, self._catalog_q, self._catalog_scales, k=fetch
+                )
+            fn = self._retrievals.get(fetch)
+            if fn is None:
+                from jax.sharding import PartitionSpec as P
+
+                fn = jax.jit(
+                    jax.shard_map(
+                        # tuple(): pallas_call with a list out_shape returns
+                        # a LIST, which must match out_specs' tuple pytree
+                        lambda u, cq, cs: tuple(
+                            retrieve_top_k_int8(u, cq, cs, k=fetch)
+                        ),
+                        mesh=self.mesh,
+                        in_specs=(P("dp"), P(), P()),
+                        out_specs=(P("dp"), P("dp")),
+                        check_vma=False,
+                    )
+                )
+                self._retrievals[fetch] = fn
+            return fn(users_dev, self._catalog_q, self._catalog_scales)
+        if self.mesh is None:
+            return retrieve_top_k(users_dev, self._catalog_dev, k=fetch)
+        fn = self._retrievals.get(fetch)
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            fn = jax.jit(
+                jax.shard_map(
+                    lambda u, c: tuple(retrieve_top_k(u, c, k=fetch)),
+                    mesh=self.mesh,
+                    in_specs=(P("dp"), P()),
+                    out_specs=(P("dp"), P("dp")),
+                    check_vma=False,
+                )
+            )
+            self._retrievals[fetch] = fn
+        return fn(users_dev, self._catalog_dev)
 
     def score_candidates(
         self, history: Sequence[str], candidate_ids: Sequence[str]
