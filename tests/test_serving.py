@@ -410,6 +410,40 @@ def test_int8_recommender(recommender):
         )
 
 
+def test_int8_clamp_is_per_chip_and_dp_divisible(recommender):
+    """The int8 batch clamp limits the PER-CHIP batch (the measured XLA
+    pathology is per-chip rows, BASELINE.md round 3) and must never break
+    the dp divisibility invariant: clamping runs before the divisibility
+    check and clamps to 16*dp."""
+    from unirec_tpu.configs import MeshConfig
+    from unirec_tpu.parallel.mesh import make_mesh
+
+    catalog = {i: recommender.catalog[j]
+               for j, i in enumerate(recommender.catalog_ids)}
+    args = (recommender.model, recommender.params, recommender.tokenizer,
+            recommender.item_dict, recommender.cache, catalog)
+
+    # single device: >16 clamps to 16 with a warning
+    with pytest.warns(UserWarning, match="clamping to 16"):
+        r = Recommender(*args, batch_size=24, precision="int8")
+    assert r.batch_size == 16
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = make_mesh(MeshConfig(dp=2, tp=1))
+    # 16/chip at dp=2 (the known-good per-chip size) must NOT clamp
+    r32 = Recommender(*args, batch_size=32, precision="int8", mesh=mesh)
+    assert r32.batch_size == 32
+    # >16/chip clamps to 16*dp, which stays dp-divisible (no shard_map
+    # divisibility crash at serve time)
+    with pytest.warns(UserWarning, match="clamping to 32"):
+        r48 = Recommender(*args, batch_size=48, precision="int8", mesh=mesh)
+    assert r48.batch_size == 32
+    assert r48.batch_size % r48.dp_size == 0
+    recs = r48.recommend([["i0"], ["i1", "i2"], []], k=3)
+    assert all(len(r) == 3 for r in recs)
+
+
 def test_dp_mesh_recommender_matches_single_device(recommender):
     """Recommender(mesh=dp) shards the user forward AND the retrieval over
     a dp mesh via shard_map (both contain pallas_calls on TPU; off-TPU the

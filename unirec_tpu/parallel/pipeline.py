@@ -218,7 +218,8 @@ class PipelinedQwen3:
         b, l, d = inputs_embeds.shape
         if b % (dp * M):
             raise ValueError(
-                f"batch {b} must divide dp*num_microbatches={dp * M}"
+                f"batch {b} must be a multiple of "
+                f"dp*num_microbatches={dp * M}"
             )
 
         if position_ids is None:
@@ -287,9 +288,20 @@ class PipelinedQwen3:
                     lp, li = xs
                     k = None
                     if use_dropout:
+                        # fold in (dp shard, layer, microbatch): without the
+                        # dp index every shard would draw identical dropout
+                        # masks for its local rows (key enters shard_map
+                        # replicated), giving 1/dp the mask randomness of
+                        # the GSPMD dp trainers
                         gidx = stage * lps + li
                         k = jax.random.fold_in(
-                            jax.random.fold_in(key, gidx), mb_idx
+                            jax.random.fold_in(
+                                jax.random.fold_in(
+                                    key, lax.axis_index(DP_AXIS)
+                                ),
+                                gidx,
+                            ),
+                            mb_idx,
                         )
                     h = apply_layer(
                         lp, h,

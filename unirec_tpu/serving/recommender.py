@@ -20,18 +20,38 @@ from typing import Dict, List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from unirec_tpu.data.cache import FieldEmbeddingCache
 from unirec_tpu.data.tokenizer import BaseTokenizer
 from unirec_tpu.models.joint import MultiModalQwenEmbedding
 from unirec_tpu.ops.losses import l2_normalize
 from unirec_tpu.ops.ranking import retrieve_top_k
+from unirec_tpu.parallel.mesh import replicate
 
 
 @dataclasses.dataclass
 class Recommendation:
     item_id: str
     score: float
+
+
+def _dp_sharded(mesh, fn, in_specs, n_out=1):
+    """jit(shard_map(fn)) over a dp mesh.
+
+    The serving bodies (user forward, retrieval) contain ``pallas_call``s,
+    which GSPMD cannot partition — shard_map hands each chip its per-shard
+    rows explicitly (CLAUDE.md).  ``in_specs`` marks each argument P()
+    (replicated) or P("dp") (user axis split); outputs are always split."""
+    return jax.jit(
+        jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=P("dp") if n_out == 1 else (P("dp"),) * n_out,
+            check_vma=False,
+        )
+    )
 
 
 class Recommender:
@@ -72,6 +92,26 @@ class Recommender:
         self.jc = model.joint_config
         self.mesh = mesh
         self.dp_size = int(mesh.shape["dp"]) if mesh is not None else 1
+        if precision not in ("bf16", "int8"):
+            raise ValueError(f"precision must be bf16 or int8, got {precision!r}")
+        if precision == "int8" and batch_size > 16 * self.dp_size:
+            # measured pathology (BASELINE.md round 3): the XLA int8 dot at
+            # [batch*seq, D] >= [16k, D] PER CHIP picks a bad layout/fusion
+            # — 37.2 users/s at batch 32 vs 79.0 bf16.  Clamp the per-chip
+            # batch to 16 loudly rather than ship the known-bad config
+            # (under dp the limit scales with the mesh, and the clamped
+            # value stays dp-divisible).
+            import warnings
+
+            warnings.warn(
+                f"precision='int8' with batch_size={batch_size} is a "
+                "known-slow XLA configuration at >16 users/chip "
+                f"(BASELINE.md round 3); clamping to {16 * self.dp_size}. "
+                "Use bf16 for larger per-chip batches.",
+                stacklevel=2,
+            )
+            batch_size = 16 * self.dp_size
+            self.batch_size = batch_size
         if mesh is not None and batch_size % self.dp_size:
             raise ValueError(
                 f"batch_size {batch_size} not divisible by dp mesh size "
@@ -79,8 +119,6 @@ class Recommender:
             )
         self._retrievals = {}  # fetch-k -> jitted dp retrieval
         if mesh is not None:
-            from unirec_tpu.parallel.mesh import replicate
-
             self.params = params = replicate(mesh, params)
 
         self.catalog_ids: List[str] = list(catalog_embeddings)
@@ -102,31 +140,12 @@ class Recommender:
         if mesh is not None:
             # every chip holds the FULL catalog and scans it for its own
             # user shard — retrieval is embarrassingly dp, zero collectives
-            from unirec_tpu.parallel.mesh import replicate
-
             if self.quantized:
                 self._catalog_q = replicate(mesh, self._catalog_q)
                 self._catalog_scales = replicate(mesh, self._catalog_scales)
             else:
                 self._catalog_dev = replicate(mesh, self._catalog_dev)
 
-        if precision not in ("bf16", "int8"):
-            raise ValueError(f"precision must be bf16 or int8, got {precision!r}")
-        if precision == "int8" and batch_size > 16:
-            # measured pathology (BASELINE.md round 3): the XLA int8 dot at
-            # [batch*seq, D] >= [16k, D] picks a bad layout/fusion — 37.2
-            # users/s at batch 32 vs 79.0 bf16.  Clamp loudly rather than
-            # ship the known-bad configuration.
-            import warnings
-
-            warnings.warn(
-                f"precision='int8' with batch_size={batch_size} is a "
-                "known-slow XLA configuration (BASELINE.md round 3); "
-                "clamping to 16. Use bf16 for larger per-chip batches.",
-                stacklevel=2,
-            )
-            batch_size = 16
-            self.batch_size = batch_size
         self.precision = precision
         self._qweights = None
         if precision == "int8":
@@ -134,8 +153,6 @@ class Recommender:
 
             self._qweights = quantize_qwen3_weights(params)
             if mesh is not None:
-                from unirec_tpu.parallel.mesh import replicate
-
                 self._qweights = replicate(mesh, self._qweights)
 
         # user forward with L2 norm fused in (one less host round trip).
@@ -151,21 +168,9 @@ class Recommender:
         if mesh is None:
             inner = jax.jit(_apply)
         else:
-            # the forward contains pallas_calls (flash attention / fused
-            # blocks) which GSPMD cannot partition — shard_map hands each
-            # chip its per-shard rows explicitly (CLAUDE.md): params and
-            # qweights replicated, every batch axis split over dp; zero
-            # collectives in the body.
-            from jax.sharding import PartitionSpec as P
-
-            inner = jax.jit(
-                jax.shard_map(
-                    _apply,
-                    mesh=mesh,
-                    in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp")),
-                    out_specs=P("dp"),
-                    check_vma=False,
-                )
+            inner = _dp_sharded(
+                mesh, _apply,
+                in_specs=(P(), P(), P("dp"), P("dp"), P("dp"), P("dp")),
             )
         self._fwd = lambda p, ids, m, he, hm: inner(
             p, self._qweights, ids, m, he, hm
@@ -185,8 +190,6 @@ class Recommender:
                 field_cache.masks, jnp.float32
             )
             if mesh is not None:
-                from unirec_tpu.parallel.mesh import replicate
-
                 self._cache_emb_dev = replicate(mesh, self._cache_emb_dev)
                 self._cache_mask_dev = replicate(mesh, self._cache_mask_dev)
             # cache arrays AND qweights ride as jit ARGUMENTS (closure
@@ -214,18 +217,11 @@ class Recommender:
             if mesh is None:
                 inner_rows = jax.jit(fwd_rows)
             else:
-                from jax.sharding import PartitionSpec as P
-
-                inner_rows = jax.jit(
-                    jax.shard_map(
-                        fwd_rows,
-                        mesh=mesh,
-                        in_specs=(
-                            P(), P(), P(), P(), P("dp"), P("dp"), P("dp"),
-                        ),
-                        out_specs=P("dp"),
-                        check_vma=False,
-                    )
+                inner_rows = _dp_sharded(
+                    mesh, fwd_rows,
+                    in_specs=(
+                        P(), P(), P(), P(), P("dp"), P("dp"), P("dp"),
+                    ),
                 )
             self._fwd_rows = lambda p, ids, lengths, rows: inner_rows(
                 p, self._qweights, self._cache_emb_dev, self._cache_mask_dev,
@@ -414,46 +410,30 @@ class Recommender:
         if self.quantized:
             from unirec_tpu.ops.quantization import retrieve_top_k_int8
 
-            if self.mesh is None:
-                return retrieve_top_k_int8(
-                    users_dev, self._catalog_q, self._catalog_scales, k=fetch
-                )
-            fn = self._retrievals.get(fetch)
-            if fn is None:
-                from jax.sharding import PartitionSpec as P
+            def kern(u, *cat):
+                return retrieve_top_k_int8(u, *cat, k=fetch)
 
-                fn = jax.jit(
-                    jax.shard_map(
-                        # tuple(): pallas_call with a list out_shape returns
-                        # a LIST, which must match out_specs' tuple pytree
-                        lambda u, cq, cs: tuple(
-                            retrieve_top_k_int8(u, cq, cs, k=fetch)
-                        ),
-                        mesh=self.mesh,
-                        in_specs=(P("dp"), P(), P()),
-                        out_specs=(P("dp"), P("dp")),
-                        check_vma=False,
-                    )
-                )
-                self._retrievals[fetch] = fn
-            return fn(users_dev, self._catalog_q, self._catalog_scales)
+            cat = (self._catalog_q, self._catalog_scales)
+        else:
+
+            def kern(u, *cat):
+                return retrieve_top_k(u, *cat, k=fetch)
+
+            cat = (self._catalog_dev,)
         if self.mesh is None:
-            return retrieve_top_k(users_dev, self._catalog_dev, k=fetch)
+            return kern(users_dev, *cat)
         fn = self._retrievals.get(fetch)
         if fn is None:
-            from jax.sharding import PartitionSpec as P
-
-            fn = jax.jit(
-                jax.shard_map(
-                    lambda u, c: tuple(retrieve_top_k(u, c, k=fetch)),
-                    mesh=self.mesh,
-                    in_specs=(P("dp"), P()),
-                    out_specs=(P("dp"), P("dp")),
-                    check_vma=False,
-                )
+            fn = _dp_sharded(
+                self.mesh,
+                # tuple(): pallas_call with a list out_shape returns a
+                # LIST, which must match out_specs' tuple pytree
+                lambda u, *c: tuple(kern(u, *c)),
+                in_specs=(P("dp"),) + (P(),) * len(cat),
+                n_out=2,
             )
             self._retrievals[fetch] = fn
-        return fn(users_dev, self._catalog_dev)
+        return fn(users_dev, *cat)
 
     def score_candidates(
         self, history: Sequence[str], candidate_ids: Sequence[str]
