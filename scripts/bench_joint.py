@@ -33,6 +33,9 @@ def main():
     p.add_argument("--no-bf16-base", dest="bf16_base", action="store_false",
                    default=True)
     p.add_argument("--fp32", dest="bf16", action="store_false", default=True)
+    p.add_argument("--flash-vjp", action="store_true",
+                   help="trainable flash causal self-attention "
+                        "(ops/flash_causal_vjp.py)")
     args = p.parse_args()
 
     from unirec_tpu.configs import (
@@ -46,7 +49,7 @@ def main():
     )
     from unirec_tpu.train.joint import JointTrainer
 
-    qwen = Qwen3Config()
+    qwen = Qwen3Config(flash_vjp_attention=args.flash_vjp)
     qf = ItemQFormerConfig(num_query_tokens=2)
     jc = JointModelConfig(max_length=args.seq)
     trainer = JointTrainer(
@@ -104,6 +107,7 @@ def main():
     print(
         f"RESULT batch={b} seq={l} remat={args.remat} policy={args.policy} "
         f"bf16={args.bf16} bf16_base={args.bf16_base} "
+        f"flash_vjp={args.flash_vjp} "
         f"ms_per_step={dt*1000:.1f} samples_per_s={b/dt:.1f} "
         f"loss={loss:.4f}",
         flush=True,

@@ -112,6 +112,12 @@ def main(argv=None) -> int:
                     help="disable rematerialization: the fastest measured "
                     "config at batch <= 8/chip (204.9 ms/step, BASELINE.md); "
                     "OOMs at batch >= 16")
+    sp.add_argument("--flash-vjp", action="store_true",
+                    help="trainable flash causal self-attention for the "
+                    "Qwen3 backbone (ops/flash_causal_vjp.py): attention "
+                    "probs never reach HBM — frees ~1.9 GB at batch 8/seq "
+                    "512 under --no-remat at the cost of score recompute "
+                    "in the backward (measure per config, BASELINE.md)")
     sp.add_argument("--tiny", action="store_true",
                     help="2-layer Qwen3 (hidden 1024) for smoke tests / CPU")
     _common_train_flags(sp, 16, 500, 1e-4)
@@ -346,6 +352,10 @@ def _run_joint(args) -> int:
         )
     else:
         qwen_cfg = Qwen3Config()
+    if getattr(args, "flash_vjp", False):
+        import dataclasses as _dc
+
+        qwen_cfg = _dc.replace(qwen_cfg, flash_vjp_attention=True)
     jc = JointModelConfig(max_length=args.max_length)
     tokenizer = make_tokenizer(
         args.hf_path, qwen_cfg.vocab_size,

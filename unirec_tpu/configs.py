@@ -284,6 +284,13 @@ class Qwen3Config:
     # (on for TPU when seq % 128 == 0 and head_dim % 128 == 0); False forces
     # the XLA additive-mask path (exact parity reference).
     flash_attention: Optional[bool] = None
+    # TRAINABLE flash causal self-attention (ops/flash_causal_vjp.py):
+    # custom-VJP streaming kernel for non-deterministic (training) forwards
+    # — the [B, H, L, L] attention probs never reach HBM, freeing ~1.9 GB
+    # at batch 8 / seq 512 over 28 layers in the no-remat joint config.
+    # Opt-in: the backward recomputes score blocks (flash-2 style), which
+    # trades FLOPs for memory — measure per config (BASELINE.md).
+    flash_vjp_attention: bool = False
 
     @property
     def q_size(self) -> int:

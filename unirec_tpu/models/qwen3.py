@@ -171,6 +171,31 @@ class Qwen3Attention(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
+        if (
+            pad_mask is not None
+            and cfg.flash_vjp_attention
+            and not deterministic
+        ):
+            # TRAINABLE flash causal self-attention (custom VJP): merged-head
+            # [B, L, H*hd] layout, K/V stay un-repeated (half the HBM of the
+            # GQA-expanded tensors), probs never materialize — the no-remat
+            # joint backward stops storing ~1.9 GB of [B, H, L, L] probs
+            # (ops/flash_causal_vjp.py; BASELINE.md round 4).
+            from unirec_tpu.ops.flash_causal_vjp import (
+                flash_causal_self_attention,
+            )
+
+            ctx = flash_causal_self_attention(
+                q.reshape(b, l, hq * hd),
+                k.reshape(b, l, hkv * hd),
+                v.reshape(b, l, hkv * hd),
+                pad_mask, hq, hkv,
+                interpret=jax.default_backend() != "tpu",
+            ).astype(self.dtype)
+            return LoRADense(cfg.hidden_size, lora=self.lora,
+                             lora_enabled=lora_on("o_proj"), name="o_proj",
+                             dtype=self.dtype)(ctx, deterministic)
+
         # GQA: repeat kv heads
         groups = hq // hkv
         k = jnp.repeat(k, groups, axis=2)
@@ -337,7 +362,9 @@ class Qwen3Model(nn.Module):
                 and l % 128 == 0
                 and cfg.head_dim % 128 == 0
             )
-        if use_flash:
+        # the trainable flash-VJP kernel also consumes the pad-mask layout
+        # (causal handled in-kernel; Qwen3Attention dispatches on the flag)
+        if use_flash or (cfg.flash_vjp_attention and not deterministic):
             bias = None
             pad_mask = (
                 attention_mask if attention_mask is not None
