@@ -264,3 +264,63 @@ def test_remat_matches_no_remat(joint_setup):
     )(params)
     leaves = jax.tree_util.tree_leaves(g)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_flash_vjp_dp_shard_map_matches_single_device(joint_setup,
+                                                      eight_devices):
+    """flash_vjp_attention + dp mesh routes through the explicit shard_map
+    step (GSPMD cannot partition pallas_call).  With dropout off, one dp=4
+    step must match the single-device XLA-attention step: pmean of
+    per-shard (loss, grads) over per-sample InfoNCE pools is exactly the
+    full-batch mean."""
+    import dataclasses
+
+    ds = joint_setup
+    ds.item_emb_dim = QWEN.hidden_size
+    rng2 = np.random.RandomState(1)
+    ds.item_emb_dict = {
+        k: rng2.randn(QWEN.hidden_size).astype(np.float32).tolist()
+        for k in ds.item_emb_dict
+    }
+    qwen_flash = dataclasses.replace(QWEN, flash_vjp_attention=True)
+
+    def make(qwen, dp):
+        return JointTrainer(
+            qwen, QF, JC, lora=LoRAConfig(r=2, dropout=0.0),
+            train_config=TrainConfig(
+                batch_size=8, optimizer=OptimizerConfig(learning_rate=5e-3),
+                mesh=MeshConfig(dp=dp, tp=1), seed=1,
+            ),
+        )
+
+    t_ref = make(QWEN, 1)
+    t_flash = make(qwen_flash, 4)
+    assert t_flash._flash_dp
+    s_ref = t_ref.init_state()
+    s_flash = t_flash.init_state()
+    batch = {k: jnp.asarray(v) for k, v in ds.batch(list(range(8))).items()}
+    s_ref, m_ref = t_ref._train_step(s_ref, batch)
+    s_flash, m_flash = t_flash._train_step(s_flash, batch)
+    np.testing.assert_allclose(float(m_flash["loss"]), float(m_ref["loss"]),
+                               atol=1e-5, rtol=1e-5)
+    leaf_r = np.asarray(
+        s_ref.params["base_model"]["layers_0"]["self_attn"]["q_proj"]["lora_b"]
+    )
+    leaf_f = np.asarray(
+        s_flash.params["base_model"]["layers_0"]["self_attn"]["q_proj"]["lora_b"]
+    )
+    assert np.abs(leaf_r).max() > 0
+    np.testing.assert_allclose(leaf_f, leaf_r, atol=1e-5, rtol=1e-4)
+
+
+def test_flash_vjp_refuses_tp(eight_devices):
+    import dataclasses
+
+    qwen_flash = dataclasses.replace(QWEN, flash_vjp_attention=True)
+    with pytest.raises(ValueError, match="tp>1"):
+        JointTrainer(
+            qwen_flash, QF, JC, lora=LoRAConfig(r=2),
+            train_config=TrainConfig(
+                batch_size=8, mesh=MeshConfig(dp=4, tp=2),
+            ),
+        )

@@ -118,6 +118,27 @@ def mixed_parallel_jit(
     )
 
 
+def dp_shard_map_jit(step_fn, mesh: Mesh, donate_state: bool = True):
+    """jit an explicitly dp-mapped (state, batch) -> (state, metrics) step.
+
+    GSPMD cannot partition ``pallas_call`` — under ``mixed_parallel_jit`` a
+    kernel-bearing step (e.g. the flash-VJP joint path) would all-gather its
+    batch per device.  ``jax.shard_map`` splits the batch explicitly instead:
+    params replicated, batch leading axis over dp, and the step itself pmeans
+    (loss, grads) over the axis (``make_joint_train_step(axis_name="dp")``),
+    so the post-update state stays replicated.  tp is unsupported here —
+    in-kernel tensor parallelism would need manual collectives.
+    """
+    mapped = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(DP_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,  # pmean-ed outputs are replicated; skip the proof
+    )
+    return jax.jit(mapped, donate_argnums=(0,) if donate_state else ())
+
+
 def shard_like(tree: Any, shardings: Any) -> Any:
     """device_put every leaf with its sharding from a matching tree."""
     return jax.tree_util.tree_map(

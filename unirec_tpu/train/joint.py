@@ -39,6 +39,7 @@ from unirec_tpu.data.tokenizer import BaseTokenizer
 from unirec_tpu.models.joint import MultiModalQwenEmbedding, construct_input_text
 from unirec_tpu.ops.losses import info_nce_loss
 from unirec_tpu.parallel.mesh import (
+    DP_AXIS,
     batch_sharding,
     make_mesh,
     pad_batch,
@@ -220,7 +221,17 @@ def make_joint_train_step(
     temperature: float = 0.07,
     return_grads: bool = False,
     seed: int = 1,
+    axis_name: Optional[str] = None,
 ):
+    """Build the (state, batch) -> (state, metrics) step.
+
+    ``axis_name``: set when the step runs INSIDE ``jax.shard_map`` over a
+    dp axis (the flash-VJP path — GSPMD cannot partition pallas_call, so
+    the dp split is explicit).  The loss is a per-sample mean over
+    per-sample candidate pools, so ``pmean`` of per-shard (loss, grads)
+    is exactly the full-batch step.
+    """
+
     def step(state: TrainState, batch):
         # rbg dropout bits: the threefry2x32 bit generator costs ~60 ms per
         # step at batch 8/seq 512 on v5e (28 layers of [B,L,*] masks);
@@ -230,6 +241,10 @@ def make_joint_train_step(
         rng = jax.random.fold_in(
             jax.random.key(seed, impl="rbg"), state.step
         )
+        if axis_name is not None:
+            # per-shard independent dropout bits (same contract: seed +
+            # step + shard index — deterministic across runs)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
 
         def loss_fn(params):
             # stop_gradient on the frozen base subtree: XLA prunes the dW
@@ -260,6 +275,9 @@ def make_joint_train_step(
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if axis_name is not None:
+            loss = jax.lax.pmean(loss, axis_name)
+            grads = jax.lax.pmean(grads, axis_name)
         state = state.apply_gradients(grads=grads)
         metrics = {"loss": loss}
         if return_grads:  # parity-test instrumentation
@@ -334,8 +352,21 @@ class JointTrainer:
         self.mesh = make_mesh(self.train_config.mesh)
         self.dp_size = self.mesh.shape["dp"]
         self.tp_size = self.mesh.shape["tp"]
+        # flash-VJP self-attention is a pallas_call: GSPMD cannot partition
+        # it, so dp runs through an explicit shard_map (dp_shard_map_jit)
+        # and tp (in-kernel tensor parallelism) is refused outright.
+        self._flash_dp = (
+            self.qwen_config.flash_vjp_attention and self.dp_size > 1
+        )
+        if self.qwen_config.flash_vjp_attention and self.tp_size > 1:
+            raise ValueError(
+                "flash_vjp_attention is incompatible with tp>1: the kernel "
+                "is opaque to GSPMD and has no in-kernel collectives; use "
+                "dp-only meshes (shard_map path) or the XLA attention"
+            )
         self._raw_step = make_joint_train_step(
-            self.model, seed=self.train_config.seed
+            self.model, seed=self.train_config.seed,
+            axis_name=DP_AXIS if self._flash_dp else None,
         )
         self._train_step = None  # jitted lazily once state shardings exist
         self._state_shardings = None
@@ -411,11 +442,18 @@ class JointTrainer:
             apply_fn=self.model.apply, params=params, tx=tx
         )
         self._state_shardings = self.state_shardings(state)
-        from unirec_tpu.parallel.mesh import mixed_parallel_jit, shard_like
-
-        self._train_step = mixed_parallel_jit(
-            self._raw_step, self.mesh, self._state_shardings
+        from unirec_tpu.parallel.mesh import (
+            dp_shard_map_jit,
+            mixed_parallel_jit,
+            shard_like,
         )
+
+        if self._flash_dp:
+            self._train_step = dp_shard_map_jit(self._raw_step, self.mesh)
+        else:
+            self._train_step = mixed_parallel_jit(
+                self._raw_step, self.mesh, self._state_shardings
+            )
         # eval forward sharded like training: batch over dp, params over tp
         # (VERDICT r1 weak #7: eval was effectively single-device)
         bsh = batch_sharding(self.mesh)
