@@ -30,6 +30,9 @@ def main():
     p.add_argument("--catalog", type=int, default=20000)
     p.add_argument("--seq", type=int, default=512)
     p.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
+    p.add_argument("--freeze-heap", action="store_true",
+                   help="gc.freeze() the post-warmup heap before the "
+                        "measured passes (serving/host_tuning.py)")
     p.add_argument("--prewarm", action="store_true",
                    help="batch-tokenize all prompt fragments at startup")
     p.add_argument("--http-clients", type=int, default=0,
@@ -107,6 +110,11 @@ def main():
     out = rec.recommend(histories[: args.batch], k=10)
     print(f"compile+first batch: {time.time()-t0:.1f}s", flush=True)
     assert len(out) == args.batch and len(out[0]) == 10
+
+    if args.freeze_heap:
+        from unirec_tpu.serving.host_tuning import freeze_host_heap
+
+        print(f"froze {freeze_host_heap()} heap objects", flush=True)
 
     # pass 1: fragment cache mostly cold (only the compile batch is cached);
     # pass 2: same histories -> fully warm (the steady state under real,

@@ -323,6 +323,27 @@ def test_make_server_warmup_runs_a_batch(recommender):
         batcher.close()
 
 
+def test_make_server_freeze_heap_still_serves(recommender):
+    """freeze_heap must freeze the warm heap and leave serving correct;
+    unfreeze afterwards so the process-global state doesn't leak into
+    other tests."""
+    import gc
+
+    from unirec_tpu.serving.server import make_server
+
+    before = gc.get_freeze_count()
+    server, batcher = make_server(recommender, port=0, warmup=True,
+                                  freeze_heap=True)
+    try:
+        assert gc.get_freeze_count() > before
+        out = batcher.recommend(["i1", "i2"], k=3)
+        assert len(out) == 3
+    finally:
+        server.server_close()
+        batcher.close()
+        gc.unfreeze()
+
+
 def test_int8_large_batch_clamps_loudly():
     """Recommender(precision='int8', batch_size>16) is a measured-slow XLA
     configuration (BASELINE.md round 3) — it must warn and clamp."""

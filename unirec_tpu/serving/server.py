@@ -103,17 +103,25 @@ def make_server(
     max_wait_ms: float = 3.0,
     request_timeout_s: float = 600.0,
     warmup: bool = False,
+    freeze_heap: bool = False,
 ):
     """(server, batcher) — caller owns serve_forever/shutdown (tests).
 
     ``warmup=True`` runs one full-shape batch before returning so the
     first-request jit compile (minutes through the remote-compile tunnel)
     is paid before traffic is admitted; ``request_timeout_s`` must cover a
-    compile when warmup is skipped."""
+    compile when warmup is skipped.  ``freeze_heap=True`` gc.freeze()s the
+    post-warmup heap so gen-2 collections stop rescanning the permanent
+    catalog/cache state (serving/host_tuning.py) — process-global, so
+    opt-in."""
     batcher = MicroBatcher(recommender, max_wait_ms=max_wait_ms,
                            request_timeout_s=request_timeout_s)
     if warmup:
         batcher.warmup()
+    if freeze_heap:
+        from unirec_tpu.serving.host_tuning import freeze_host_heap
+
+        freeze_host_heap()
 
     class _Server(ThreadingHTTPServer):
         daemon_threads = True
@@ -126,6 +134,7 @@ def make_server(
 
 
 def serve(recommender: Recommender, host: str = "127.0.0.1", port: int = 8099):
-    server, _ = make_server(recommender, host, port, warmup=True)
+    server, _ = make_server(recommender, host, port, warmup=True,
+                            freeze_heap=True)
     print(f"serving on http://{host}:{port}")
     server.serve_forever()
