@@ -82,7 +82,9 @@ def main(argv=None) -> int:
     sp.add_argument("--flash", action="store_true",
                     help="trainable flash cross-attention (needs attention "
                     "dropout 0 to engage; 1.34x + memory-flat at seq 200, "
-                    "BASELINE.md). Sets dropout 0.")
+                    "and with --bf16 the fastest config at seq 50 too: "
+                    "699.7 vs 595.6 samples/s fp32 XLA, BASELINE.md). "
+                    "Sets dropout 0.")
     _common_train_flags(sp, 64, 50, 5e-5)
 
     sp = sub.add_parser("joint")
