@@ -313,6 +313,35 @@ def test_flash_vjp_dp_shard_map_matches_single_device(joint_setup,
     np.testing.assert_allclose(leaf_f, leaf_r, atol=1e-5, rtol=1e-4)
 
 
+def test_dp_eval_shard_map_matches_single_device(joint_setup, eight_devices):
+    """dp-only meshes evaluate through an explicit shard_map (the
+    deterministic forward can contain pallas_calls, which GSPMD cannot
+    partition); metrics must match the single-device GSPMD-jit eval."""
+    ds = joint_setup
+    ds.item_emb_dim = QWEN.hidden_size
+    rng2 = np.random.RandomState(1)
+    ds.item_emb_dict = {
+        k: rng2.randn(QWEN.hidden_size).astype(np.float32).tolist()
+        for k in ds.item_emb_dict
+    }
+
+    def make(dp):
+        return JointTrainer(
+            QWEN, QF, JC, lora=LoRAConfig(r=2),
+            train_config=TrainConfig(
+                batch_size=8, optimizer=OptimizerConfig(learning_rate=5e-3),
+                mesh=MeshConfig(dp=dp, tp=1), seed=1,
+            ),
+        )
+
+    t1, t4 = make(1), make(4)
+    s1, s4 = t1.init_state(), t4.init_state()
+    ev1 = t1.evaluate(s1, ds, batch_size=6, max_negatives=7)
+    ev4 = t4.evaluate(s4, ds, batch_size=6, max_negatives=7)
+    for k, v in ev1.items():
+        np.testing.assert_allclose(ev4[k], v, atol=1e-6, err_msg=k)
+
+
 def test_flash_vjp_refuses_tp(eight_devices):
     import dataclasses
 

@@ -138,6 +138,19 @@ def test_rejects_bad_layer_split(eight_devices):
         PipelinedQwen3(cfg, mesh)
 
 
+def test_rejects_flash_vjp_attention(eight_devices):
+    """The pp schedule drives layers with additive biases (pad_mask=None),
+    so flash_vjp_attention would silently never engage — must refuse."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_qwen3_config(num_hidden_layers=8), flash_vjp_attention=True
+    )
+    mesh = make_pp_mesh(pp=4, dp=2)
+    with pytest.raises(ValueError, match="pipeline"):
+        PipelinedQwen3(cfg, mesh)
+
+
 # -- flagship composition: joint model with a pipelined backbone ------------
 
 

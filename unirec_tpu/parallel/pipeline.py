@@ -157,6 +157,17 @@ class PipelinedQwen3:
                 f"num_hidden_layers={self.config.num_hidden_layers} not "
                 f"divisible by pp={s}"
             )
+        if self.config.flash_vjp_attention:
+            # The pp schedule always hands Qwen3Attention an additive bias
+            # (pad_mask=None), so the trainable flash-VJP dispatch in
+            # models/qwen3.py would silently never fire — refuse instead of
+            # quietly dropping the flag's memory/speed benefit.
+            raise ValueError(
+                "flash_vjp_attention is not supported under pipeline "
+                "parallelism: the pp schedule drives layers with additive "
+                "biases, not pad masks. Unset Qwen3Config.flash_vjp_attention"
+                " or train on a dp-only mesh (train joint --flash-vjp)."
+            )
 
     # -- parameter helpers ---------------------------------------------------
 

@@ -456,16 +456,39 @@ class JointTrainer:
             )
         # eval forward sharded like training: batch over dp, params over tp
         # (VERDICT r1 weak #7: eval was effectively single-device)
-        bsh = batch_sharding(self.mesh)
-        self._eval_fwd = jax.jit(
-            lambda p, ids, m, he, hm: self.model.apply(
-                {"params": p}, ids, m, he, hm
-            ),
-            in_shardings=(
-                self._state_shardings.params, bsh, bsh, bsh, bsh,
-            ),
-            out_shardings=bsh,
+        fwd = lambda p, ids, m, he, hm: self.model.apply(  # noqa: E731
+            {"params": p}, ids, m, he, hm
         )
+        if self.dp_size > 1 and self.tp_size == 1:
+            # The deterministic eval forward can hit a pallas_call (the
+            # stock flash kernel auto-enables on TPU at l%128==0, and the
+            # Q-Former fused/flash paths are kernels too).  GSPMD cannot
+            # partition pallas_call — under plain jit it would all-gather
+            # the batch per device, making eval effectively replicated —
+            # so dp-only meshes split the batch explicitly via shard_map
+            # (params replicated, batch leading axis over dp).
+            from jax.sharding import PartitionSpec as _P
+
+            self._eval_fwd = jax.jit(
+                jax.shard_map(
+                    fwd,
+                    mesh=self.mesh,
+                    in_specs=(
+                        _P(), _P("dp"), _P("dp"), _P("dp"), _P("dp"),
+                    ),
+                    out_specs=_P("dp"),
+                    check_vma=False,
+                )
+            )
+        else:
+            bsh = batch_sharding(self.mesh)
+            self._eval_fwd = jax.jit(
+                fwd,
+                in_shardings=(
+                    self._state_shardings.params, bsh, bsh, bsh, bsh,
+                ),
+                out_shardings=bsh,
+            )
         return shard_like(state, self._state_shardings)
 
     def _batch_stream(
