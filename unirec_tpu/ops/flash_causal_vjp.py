@@ -284,22 +284,41 @@ def _dkv_kernel(
 
 def _specs(dq, dk, block):
     """BlockSpecs for grid (B, outer, inner) where the Q-side tensors index
-    by grid dim `q_dim` and the KV-side tensors by `kv_dim`."""
+    by grid dim `q_dim` and the KV-side tensors by `kv_dim`.
+
+    Causally-dead grid steps (kv block above the diagonal) skip all compute
+    via ``pl.when``, but Pallas still DMAs every mapped block per step — up
+    to ~50% of the inner-loop fetches would be dead at large n.  The index
+    maps therefore CLAMP the varying side to the diagonal (kv side clamps
+    down in the q-outer kernels, q side clamps up in the kv-outer kernel):
+    a skipped step re-references an already-resident (or next-live) block
+    and Mosaic elides the copy."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def make(q_dim):
-        def q_idx(b, i, j):
-            return (b, (i, j)[q_dim], 0)
+        if q_dim == 0:
+            # grid (b, qi, ki): steps with ki > qi are dead
+            def q_idx(b, i, j):
+                return (b, i, 0)
 
-        def kv_idx(b, i, j):
-            return (b, (j, i)[q_dim], 0)
+            def kv_blk(i, j):
+                return jnp.minimum(j, i)
+        else:
+            # grid (b, ki, qi): steps with qi < ki are dead
+            def q_idx(b, i, j):
+                return (b, jnp.maximum(j, i), 0)
+
+            def kv_blk(i, j):
+                return i
 
         q_spec = pl.BlockSpec((1, block, dq), q_idx, memory_space=pltpu.VMEM)
-        kv_spec = pl.BlockSpec((1, block, dk), kv_idx,
-                               memory_space=pltpu.VMEM)
+        kv_spec = pl.BlockSpec(
+            (1, block, dk), lambda b, i, j: (b, kv_blk(i, j), 0),
+            memory_space=pltpu.VMEM,
+        )
         bias_spec = pl.BlockSpec(
-            (1, 1, block), lambda b, i, j: (b, 0, (j, i)[q_dim]),
+            (1, 1, block), lambda b, i, j: (b, 0, kv_blk(i, j)),
             memory_space=pltpu.VMEM,
         )
         row_spec = pl.BlockSpec((1, block, _LANE), q_idx,
