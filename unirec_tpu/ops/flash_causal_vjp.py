@@ -33,6 +33,18 @@ No attention-prob dropout (Qwen3 has none; LoRA dropout acts on projection
 INPUTS and stays outside).  The padding mask is a per-key additive bias and
 gets zero gradient.
 
+Unlike ops/flash_vjp.py's ``flash_cross_attention_proj_vjp``, the Q/K/V
+projections stay OUTSIDE this custom_vjp — deliberately: here they are
+LoRADense + per-head RMSNorm + RoPE (hand-deriving those VJPs would add
+grads for six-plus param leaves per layer), and the saved residuals are
+per-layer [B, L, D] q/k/v (~40 MB/layer at batch 8/seq 512, ~1.1 GB over
+28 layers) rather than the cross-kernel's shared memory tensor.  That
+residual memory is not the binding constraint at the measured-fastest
+config (batch 8; batch 12/16 already run WITHOUT OOM and are slower
+per-sample — BASELINE.md round 5), so the extra VJP surface isn't paid
+for.  Revisit if a config appears where those residuals block a faster
+batch point.
+
 Reference semantics: the XLA path in models/qwen3.py:204-214 (causal +
 padding additive -1e9 bias, fp32 softmax), itself parity-tested against HF
 transformers (tests/test_qwen3.py).
