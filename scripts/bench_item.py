@@ -27,6 +27,9 @@ def main():
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--mode", default="bf16", choices=["fp32", "bf16", "int8"])
+    p.add_argument("--fused-anchor", action="store_true",
+                   help="trainable fused attention blocks for the anchor "
+                   "(ops/fused_qformer_vjp.py; attention-prob dropout off)")
     args = p.parse_args()
 
     from unirec_tpu.configs import (
@@ -37,7 +40,9 @@ def main():
     )
     from unirec_tpu.train.item_qformer import ItemQFormerTrainer
 
-    cfg = ItemQFormerConfig()  # production: 1024/12L/16H/K=32/F=14
+    cfg = ItemQFormerConfig(  # production: 1024/12L/16H/K=32/F=14
+        fused_training=args.fused_anchor,
+    )
     trainer = ItemQFormerTrainer(
         cfg,
         TrainConfig(
@@ -78,6 +83,7 @@ def main():
     dt = (time.time() - t0) / args.steps
     print(
         f"RESULT item-stage batch={b} mode={args.mode} "
+        f"fused_anchor={args.fused_anchor} "
         f"ms_per_step={dt*1000:.1f} samples_per_s={b/dt:.0f} "
         f"loss={loss:.4f}",
         flush=True,

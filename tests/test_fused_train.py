@@ -1,0 +1,201 @@
+"""Trainable fused Q-Former attention blocks == XLA math, values AND grads.
+
+ops/fused_qformer_vjp.py must match a pure-jnp reference (same packing-free
+per-item attention the model's XLA path computes) through jax autodiff, in
+interpret mode (CPU) — the real-TPU check runs via /verify drivers.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unirec_tpu.ops.fused_qformer_vjp import (
+    NEG_INF,
+    fused_cross_attention_train,
+    fused_self_attention_train,
+    supports_fused_train,
+)
+
+HEADS = 4
+D = 128  # head_dim 32
+
+
+def _attn_ref(q, k, v, bias):
+    # q [B, Lq, D] merged-head; bias [B, Lkv] additive per-key
+    b, lq, d = q.shape
+    hd = d // HEADS
+    qh = q.reshape(b, lq, HEADS, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, k.shape[1], HEADS, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, v.shape[1], HEADS, hd).transpose(0, 2, 1, 3)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32) / (hd ** 0.5)
+    s = s + bias[:, None, None, :].astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    c = jnp.einsum("bhqk,bhkd->bhqd", p, vh,
+                   preferred_element_type=jnp.float32).astype(q.dtype)
+    return c.transpose(0, 2, 1, 3).reshape(b, lq, d)
+
+
+def _self_ref(x, kbias, wqkv, bqkv, wo, bo):
+    qkv = x @ wqkv + bqkv
+    d = x.shape[-1]
+    ctx = _attn_ref(qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :],
+                    kbias)
+    return ctx @ wo + bo
+
+
+def _cross_ref(x, mem, kbias, wq, bq, wkv, bkv, wo, bo):
+    d = x.shape[-1]
+    q = x @ wq + bq
+    kv = mem @ wkv + bkv
+    ctx = _attn_ref(q, kv[..., :d], kv[..., d:], kbias)
+    return ctx @ wo + bo
+
+
+def _params(rng, dm, d):
+    return dict(
+        wq=jnp.asarray(rng.randn(d, d) * 0.05, jnp.float32),
+        bq=jnp.asarray(rng.randn(d) * 0.01, jnp.float32),
+        wkv=jnp.asarray(rng.randn(dm, 2 * d) * 0.05, jnp.float32),
+        bkv=jnp.asarray(rng.randn(2 * d) * 0.01, jnp.float32),
+        wqkv=jnp.asarray(rng.randn(d, 3 * d) * 0.05, jnp.float32),
+        bqkv=jnp.asarray(rng.randn(3 * d) * 0.01, jnp.float32),
+        wo=jnp.asarray(rng.randn(d, d) * 0.05, jnp.float32),
+        bo=jnp.asarray(rng.randn(d) * 0.01, jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("b,k", [(8, 32), (5, 32), (16, 8)])
+def test_self_block_matches_reference(b, k):
+    rng = np.random.RandomState(0)
+    p = _params(rng, D, D)
+    x = jnp.asarray(rng.randn(b, k, D), jnp.float32)
+    kbias = jnp.zeros((b, k), jnp.float32)
+    ct = jnp.asarray(rng.randn(b, k, D), jnp.float32)
+
+    def loss_fused(x, wqkv, bqkv, wo, bo):
+        out = fused_self_attention_train(
+            x, kbias, wqkv, bqkv, wo, bo, num_heads=HEADS, interpret=True
+        )
+        return jnp.sum(out * ct)
+
+    def loss_ref(x, wqkv, bqkv, wo, bo):
+        return jnp.sum(_self_ref(x, kbias, wqkv, bqkv, wo, bo) * ct)
+
+    args = (x, p["wqkv"], p["bqkv"], p["wo"], p["bo"])
+    vf, gf = jax.value_and_grad(loss_fused, argnums=tuple(range(5)))(*args)
+    vr, gr = jax.value_and_grad(loss_ref, argnums=tuple(range(5)))(*args)
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+    for a, r, name in zip(gf, gr, ["x", "wqkv", "bqkv", "wo", "bo"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=2e-4, rtol=1e-4,
+            err_msg=name,
+        )
+
+
+def test_cross_block_matches_reference_with_masks():
+    rng = np.random.RandomState(1)
+    b, k, f, dm = 9, 32, 14, 96
+    p = _params(rng, dm, D)
+    x = jnp.asarray(rng.randn(b, k, D), jnp.float32)
+    mem = jnp.asarray(rng.randn(b, f, dm), jnp.float32)
+    mask = (rng.rand(b, f) > 0.3).astype(np.float32)
+    mask[0] = 0.0  # an item with ZERO valid fields must not leak
+    kbias = jnp.asarray((1.0 - mask) * NEG_INF, jnp.float32)
+    ct = jnp.asarray(rng.randn(b, k, D), jnp.float32)
+
+    def loss_fused(x, mem, wq, bq, wkv, bkv, wo, bo):
+        out = fused_cross_attention_train(
+            x, mem, kbias, wq, bq, wkv, bkv, wo, bo,
+            num_heads=HEADS, interpret=True,
+        )
+        return jnp.sum(out * ct)
+
+    def loss_ref(x, mem, wq, bq, wkv, bkv, wo, bo):
+        return jnp.sum(_cross_ref(x, mem, kbias, wq, bq, wkv, bkv, wo, bo)
+                       * ct)
+
+    args = (x, mem, p["wq"], p["bq"], p["wkv"], p["bkv"], p["wo"], p["bo"])
+    vf, gf = jax.value_and_grad(loss_fused, argnums=tuple(range(8)))(*args)
+    vr, gr = jax.value_and_grad(loss_ref, argnums=tuple(range(8)))(*args)
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+    names = ["x", "mem", "wq", "bq", "wkv", "bkv", "wo", "bo"]
+    for a, r, name in zip(gf, gr, names):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=2e-4, rtol=1e-4,
+            err_msg=name,
+        )
+
+
+def test_zero_field_item_matches_xla_uniform_spread():
+    """For an all-masked item the packed kernel must reproduce the XLA
+    softmax-over-all-masked behaviour (uniform probs over OWN keys)."""
+    rng = np.random.RandomState(2)
+    b, k, f, dm = 3, 32, 7, D
+    p = _params(rng, dm, D)
+    x = jnp.asarray(rng.randn(b, k, D), jnp.float32)
+    mem = jnp.asarray(rng.randn(b, f, dm), jnp.float32)
+    kbias = jnp.full((b, f), NEG_INF, jnp.float32)
+    out = fused_cross_attention_train(
+        x, mem, kbias, p["wq"], p["bq"], p["wkv"], p["bkv"], p["wo"],
+        p["bo"], num_heads=HEADS, interpret=True,
+    )
+    ref = _cross_ref(x, mem, kbias, p["wq"], p["bq"], p["wkv"], p["bkv"],
+                     p["wo"], p["bo"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_item_qformer_fused_training_matches_xla():
+    """ItemQFormer(fused_training=True) must reproduce the XLA path's
+    forward AND gradients exactly (same params, dropout off)."""
+    import dataclasses
+
+    from unirec_tpu.configs import ItemQFormerConfig
+    from unirec_tpu.models.item_qformer import ItemQFormer
+
+    cfg = ItemQFormerConfig(
+        hidden_size=D, num_hidden_layers=3, num_attention_heads=HEADS,
+        intermediate_size=256, num_query_tokens=32, field_embedding_dim=D,
+        num_fields=5, dropout=0.0,
+    )
+    cfg_fused = dataclasses.replace(cfg, fused_training=True)
+    rng = np.random.RandomState(3)
+    fields = jnp.asarray(rng.randn(6, 5, D), jnp.float32)
+    mask = jnp.asarray((rng.rand(6, 5) > 0.3).astype(np.float32))
+    m_x = ItemQFormer(cfg)
+    m_f = ItemQFormer(cfg_fused)
+    params = m_x.init(jax.random.PRNGKey(0), fields, mask)
+    # identical param trees (the fused path creates the same modules)
+    pf = m_f.init(jax.random.PRNGKey(0), fields, mask)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(pf)
+
+    def loss(m):
+        def f(p):
+            out = m.apply(p, fields, mask, deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(9)})
+            return (
+                jnp.mean(out["query_outputs"] ** 2)
+                + jnp.mean(out["reconstructed_fields"] ** 2)
+            )
+        return f
+
+    vx, gx = jax.value_and_grad(loss(m_x))(params)
+    vf, gf = jax.value_and_grad(loss(m_f))(params)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-5)
+    flat_x = jax.tree_util.tree_leaves_with_path(gx)
+    flat_f = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(gf)}
+    for k, v in flat_x:
+        np.testing.assert_allclose(
+            np.asarray(flat_f[jax.tree_util.keystr(k)]), np.asarray(v),
+            atol=3e-4, rtol=2e-4, err_msg=jax.tree_util.keystr(k),
+        )
+
+
+def test_supports_fused_train_gate():
+    assert supports_fused_train(32, 1024, 16, 14)
+    assert supports_fused_train(8, 1024, 16, 14)
+    assert not supports_fused_train(33, 1024, 16, 14)   # 256 % 33 != 0
+    assert not supports_fused_train(32, 1000, 16, 14)   # heads don't split
+    assert not supports_fused_train(1, 1024, 16, 1600)  # mem tile too big

@@ -66,6 +66,12 @@ def main(argv=None) -> int:
                     help="run the no-gradient pos/neg reference forwards on "
                     "the int8 W8A8 kernels (+6%% step throughput; targets "
                     "differ only by quantization noise — BASELINE.md)")
+    sp.add_argument("--fused-anchor", action="store_true",
+                    help="run the trainable anchor forward+backward through "
+                    "the fused attention-block kernels "
+                    "(ops/fused_qformer_vjp.py; requires --bf16). Zeroes "
+                    "attention-PROB dropout (hidden dropout unchanged) — "
+                    "the same tradeoff as 'train user --flash'")
     _common_train_flags(sp, 4096, 500, 1e-4)
 
     sp = sub.add_parser("user-qformer")
@@ -222,6 +228,11 @@ def _dispatch(args) -> int:
         split = int(0.9 * len(cache))
         val_rows = perm[split:]
 
+        fused_anchor = getattr(args, "fused_anchor", False)
+        if fused_anchor and not args.bf16:
+            # fp32 weights overflow the 16 MB VMEM at production width;
+            # the kernels are bf16-only (ops/fused_qformer_vjp.py)
+            raise SystemExit("--fused-anchor requires --bf16")
         mc = ItemQFormerConfig(
             num_fields=cache.num_fields,
             field_embedding_dim=cache.embedding_dim,
@@ -230,6 +241,7 @@ def _dispatch(args) -> int:
             num_hidden_layers=args.num_layers,
             num_attention_heads=args.num_heads,
             intermediate_size=args.intermediate_size,
+            fused_training=fused_anchor,
         )
         tc = TrainConfig(
             batch_size=args.batch_size,

@@ -127,6 +127,13 @@ class QFormerConfig:
     # attention-prob dropout is inactive (the kernel's probs are
     # deterministic); XLA path otherwise.
     flash_training: bool = False
+    # Trainable FUSED attention blocks (ops/fused_qformer_vjp.py): QKV
+    # projections + packed per-item attention + output projection as one
+    # kernel each way (the training counterpart of the inference engine).
+    # Engages only for key-only masks (the item path), bf16 compute, and
+    # inactive attention-prob dropout; hidden dropout stays in XLA and is
+    # unaffected.  XLA path otherwise.
+    fused_training: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -159,6 +166,11 @@ class ItemQFormerConfig:
     num_modalities: int = 4
     fast_attention: bool = False
     gradient_checkpointing: bool = False
+    # Trainable fused attention blocks (see QFormerConfig.fused_training).
+    # Zeroes attention-PROB dropout (the kernels recompute deterministic
+    # probs in the backward) — hidden dropout keeps self.dropout; the same
+    # tradeoff as the user stage's --flash (BASELINE.md round 3).
+    fused_training: bool = False
 
     def qformer(self) -> QFormerConfig:
         return QFormerConfig(
@@ -167,13 +179,16 @@ class ItemQFormerConfig:
             num_attention_heads=self.num_attention_heads,
             intermediate_size=self.intermediate_size,
             hidden_dropout_prob=self.dropout,
-            attention_probs_dropout_prob=self.dropout,
+            attention_probs_dropout_prob=(
+                0.0 if self.fused_training else self.dropout
+            ),
             add_cross_attention=True,
             cross_attention_freq=2,
             encoder_width=self.field_embedding_dim,
             query_length=self.num_query_tokens,
             fast_attention=self.fast_attention,
             gradient_checkpointing=self.gradient_checkpointing,
+            fused_training=self.fused_training,
         )
 
 

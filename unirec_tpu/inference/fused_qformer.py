@@ -213,6 +213,7 @@ def fused_qformer_forward(
     attention_mask: Optional[jax.Array] = None,  # [B, F]
     *,
     interpret: bool = False,
+    int8_cross_tile: Optional[int] = None,
 ) -> jax.Array:
     """[B, F, D] cached field embeddings -> [B, K, hidden] query tokens.
 
@@ -289,7 +290,7 @@ def fused_qformer_forward(
                     layer.cross_wo, layer.cross_so, layer.cross_bo,
                     layer.cross_ln_g, layer.cross_ln_b,
                     num_heads=heads, n_q=k, n_kv=f, ln_eps=eps,
-                    interpret=interpret,
+                    interpret=interpret, tile_rows=int8_cross_tile,
                 )
             else:
                 h = fused_cross_attention_block(

@@ -144,7 +144,8 @@ class QFormerAttention(nn.Module):
         )
 
         src = kv_states if self.is_cross else hidden_states
-        q_merged = dense("query")(hidden_states)
+        q_mod = dense("query")
+        q_merged = q_mod(hidden_states)
         q = split_heads(q_merged, heads)
 
         drop_rate = cfg.attention_probs_dropout_prob
@@ -154,7 +155,81 @@ class QFormerAttention(nn.Module):
             else None
         )
         fast = cfg.fast_attention and deterministic
-        if self.is_cross and cfg.flash_training and rng is None and not fast:
+        out_pre = None  # set by paths whose kernel includes the output proj
+        interpret = jax.default_backend() != "tpu"
+        # trainable FUSED blocks (ops/fused_qformer_vjp.py): the whole
+        # attention block — QKV projections, packed per-item attention,
+        # output projection — as one kernel each way.  Only for key-only
+        # masks (the item path; UniLM/causal 2-D masks stay on XLA), bf16
+        # compute (fp32 weights overflow the 16 MB VMEM at D=1024), and
+        # deterministic attention probs.  Hidden dropout stays in XLA below.
+        fused_ok = (
+            cfg.fused_training
+            and rng is None
+            and not fast
+            and (self.is_cross or cfg.position_embedding_type == "absolute")
+            and (bias is None
+                 or (bias.ndim == 4 and bias.shape[1] == 1
+                     and bias.shape[2] == 1))
+            and (q_merged.dtype == jnp.bfloat16 or interpret)
+        )
+        if fused_ok:
+            from unirec_tpu.ops.fused_qformer_vjp import supports_fused_train
+
+            fused_ok = supports_fused_train(
+                hidden_states.shape[1], cfg.hidden_size, heads,
+                src.shape[1] if self.is_cross else hidden_states.shape[1],
+            )
+        if fused_ok:
+            from unirec_tpu.ops.fused_qformer_vjp import (
+                fused_cross_attention_train,
+                fused_self_attention_train,
+            )
+
+            dt = q_merged.dtype
+            dk_mod, dv_mod = dense("key"), dense("value")
+            dk_mod(src[:, :1, :])  # create params; outputs unused (DCE'd)
+            dv_mod(src[:, :1, :])
+            od = nn.Dense(
+                cfg.hidden_size, kernel_init=init, name="output_dense",
+                dtype=self.dtype,
+            )
+            od(q_merged[:, :1, :])
+            qp = q_mod.variables["params"]
+            kp = dk_mod.variables["params"]
+            vp = dv_mod.variables["params"]
+            op = od.variables["params"]
+            kb = (
+                bias[:, 0, 0, :].astype(jnp.float32)
+                if bias is not None
+                else jnp.zeros(src.shape[:2], jnp.float32)
+            )
+            if self.is_cross:
+                wkv = jnp.concatenate(
+                    [kp["kernel"], vp["kernel"]], axis=1
+                ).astype(dt)
+                bkv = jnp.concatenate([kp["bias"], vp["bias"]]).astype(dt)
+                out_pre = fused_cross_attention_train(
+                    hidden_states.astype(dt), src.astype(dt), kb,
+                    qp["kernel"].astype(dt), qp["bias"].astype(dt),
+                    wkv, bkv, op["kernel"].astype(dt),
+                    op["bias"].astype(dt),
+                    num_heads=heads, interpret=interpret,
+                )
+            else:
+                wqkv = jnp.concatenate(
+                    [qp["kernel"], kp["kernel"], vp["kernel"]], axis=1
+                ).astype(dt)
+                bqkv = jnp.concatenate(
+                    [qp["bias"], kp["bias"], vp["bias"]]
+                ).astype(dt)
+                out_pre = fused_self_attention_train(
+                    hidden_states.astype(dt), kb, wqkv, bqkv,
+                    op["kernel"].astype(dt), op["bias"].astype(dt),
+                    num_heads=heads, interpret=interpret,
+                )
+            ctx = None
+        elif self.is_cross and cfg.flash_training and rng is None and not fast:
             # trainable streaming kernel with the K/V projections INSIDE the
             # custom vjp (ops/flash_vjp.flash_cross_attention_proj_vjp): the
             # [B, H, Lq, Lkv] probs never exist in fwd OR bwd, and the fat
@@ -257,14 +332,17 @@ class QFormerAttention(nn.Module):
                 deterministic=deterministic,
                 fast=fast,
             )
-        # the proj-fused flash op already returns merged heads [B, L, D]
-        if ctx.ndim == 4:
-            ctx = merge_heads(ctx)
-
-        out = nn.Dense(
-            cfg.hidden_size, kernel_init=init, name="output_dense", dtype=self.dtype
-        )(ctx)
-        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        if out_pre is None:
+            # the proj-fused flash op already returns merged heads [B, L, D]
+            if ctx.ndim == 4:
+                ctx = merge_heads(ctx)
+            out_pre = nn.Dense(
+                cfg.hidden_size, kernel_init=init, name="output_dense",
+                dtype=self.dtype,
+            )(ctx)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(
+            out_pre, deterministic=deterministic
+        )
         out = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, name="output_LayerNorm", dtype=self.dtype
         )(out + hidden_states)

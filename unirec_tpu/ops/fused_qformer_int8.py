@@ -329,22 +329,30 @@ def fused_self_attention_block_q(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "n_q", "n_kv", "ln_eps", "interpret"),
+    static_argnames=(
+        "num_heads", "n_q", "n_kv", "ln_eps", "interpret", "tile_rows",
+    ),
 )
 def fused_cross_attention_block_q(
     x, mem, key_bias,
     wq_q, sq, bq, wkv_q, skv, bkv, wo_q, so, bo, ln_gamma, ln_beta,
     *, num_heads: int, n_q: int, n_kv: int, ln_eps: float = 1e-12,
-    interpret: bool = False,
+    interpret: bool = False, tile_rows: int = None,
 ):
-    """Int8 LayerNorm(x + W_o·CrossAttn(x -> mem))."""
+    """Int8 LayerNorm(x + W_o·CrossAttn(x -> mem)).
+
+    ``tile_rows`` overrides the 512-row default: the 512 tile sits within
+    ~2%% of the 16 MB scoped-VMEM limit, and sharing a step with the
+    trainable fused kernels (train item --fused-anchor) pushes it over —
+    the trainer passes 256 there (ops/fused_qformer_vjp.py note)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, k, d = x.shape
     f, dm = mem.shape[1], mem.shape[2]
     assert k == n_q and f == n_kv
-    tile = _CROSS_TILE_ROWS if _CROSS_TILE_ROWS % n_q == 0 else n_q
+    rows_cfg = tile_rows or _CROSS_TILE_ROWS
+    tile = rows_cfg if rows_cfg % n_q == 0 else n_q
     p_items = tile // n_q
     pad_b = (-b) % p_items
     if pad_b:

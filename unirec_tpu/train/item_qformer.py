@@ -111,6 +111,14 @@ def make_train_step(
         q = fused_qformer_forward(
             fp, fused_reference_config, emb, mask,
             interpret=jax.default_backend() != "tpu",
+            # the 512-row int8 cross tile sits ~2% under the 16 MB scoped
+            # VMEM limit; sharing the step with the trainable fused anchor
+            # kernels pushes it 350K over — drop to 256 in that combination
+            int8_cross_tile=(
+                256
+                if getattr(fused_reference_config, "fused_training", False)
+                else None
+            ),
         )
         head = frozen["item_representation_head"]
         rep = (
