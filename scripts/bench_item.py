@@ -31,6 +31,10 @@ def main():
                    help="trainable fused attention blocks for the anchor "
                    "(ops/fused_qformer_vjp.py; attention-prob dropout off)")
     args = p.parse_args()
+    if args.fused_anchor and args.mode == "fp32":
+        # the model gate would silently fall back to XLA on TPU (fp32
+        # weights overflow VMEM) and the RESULT line would mislabel it
+        p.error("--fused-anchor requires --mode bf16 or int8")
 
     from unirec_tpu.configs import (
         ItemQFormerConfig,

@@ -199,3 +199,38 @@ def test_supports_fused_train_gate():
     assert not supports_fused_train(33, 1024, 16, 14)   # 256 % 33 != 0
     assert not supports_fused_train(32, 1000, 16, 14)   # heads don't split
     assert not supports_fused_train(1, 1024, 16, 1600)  # mem tile too big
+    assert not supports_fused_train(32, 2048, 16, 14)   # weights over VMEM
+
+
+def test_item_trainer_refuses_fused_training_on_dp_mesh(eight_devices):
+    """pallas_call is opaque to GSPMD: the fused-anchor trainer must refuse
+    multi-device meshes instead of silently all-gathering the batch."""
+    import dataclasses
+
+    import pytest
+
+    from unirec_tpu.configs import (
+        ItemQFormerConfig,
+        MeshConfig,
+        TrainConfig,
+    )
+    from unirec_tpu.train.item_qformer import ItemQFormerTrainer
+
+    cfg = dataclasses.replace(
+        ItemQFormerConfig(
+            hidden_size=D, num_hidden_layers=2, num_attention_heads=HEADS,
+            intermediate_size=256, num_query_tokens=32,
+            field_embedding_dim=D, num_fields=5,
+        ),
+        fused_training=True,
+    )
+    with pytest.raises(ValueError, match="single-device"):
+        ItemQFormerTrainer(
+            cfg, TrainConfig(batch_size=8, mesh=MeshConfig(dp=4)),
+            dtype="bfloat16",
+        )
+    # dp=1 constructs fine
+    ItemQFormerTrainer(
+        cfg, TrainConfig(batch_size=8, mesh=MeshConfig(dp=1)),
+        dtype="bfloat16",
+    )

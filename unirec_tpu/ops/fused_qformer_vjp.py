@@ -42,7 +42,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-NEG_INF = -1e9
+from unirec_tpu.ops.fused_qformer_layer import NEG_INF, _row2d
 
 _TILE_ROWS = 256
 
@@ -194,10 +194,6 @@ class _ColView:
     @property
     def dtype(self):
         return self.ref.dtype
-
-
-def _row2d(b):
-    return b.reshape(1, -1)
 
 
 def _pad_rows(a, rows):
@@ -583,10 +579,15 @@ def fused_cross_attention_train(
 
 def supports_fused_train(k: int, d: int, num_heads: int, f: int = 1) -> bool:
     """Shape gate: items must tile into the 256-row MXU block, heads must
-    split the hidden dim, and the packed memory tile must stay VMEM-sized."""
+    split the hidden dim, the packed memory tile must stay VMEM-sized, and
+    the VMEM-resident weight blocks must fit — the self forward holds
+    wqkv [d, 3d] + wo [d, d] bf16 (8 bytes * d^2) next to ~3 MB of
+    activation tiles, which caps d at 1024 under the 16 MB scoped limit
+    (d=1152 already needs ~16.7 MB).  Callers fall back to XLA beyond."""
     return (
         k > 0
         and _TILE_ROWS % k == 0
         and d % num_heads == 0
+        and d <= 1024
         and (_TILE_ROWS // k) * f <= 512
     )

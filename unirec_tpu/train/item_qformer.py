@@ -236,6 +236,21 @@ class ItemQFormerTrainer:
         )
         self.model = ItemQFormer(self.model_config, dtype=compute_dtype)
         self.mesh = make_mesh(self.train_config.mesh)
+        if (
+            getattr(self.model_config, "fused_training", False)
+            and self.mesh.devices.size > 1
+        ):
+            # the trainable fused kernels are pallas_calls inside the
+            # gradient path: GSPMD cannot partition them, so the dp-sharded
+            # step would all-gather the batch per device.  An exact
+            # shard_map route needs sum/count-pmean'd losses (the masked
+            # recon MSE normalizes by valid-field count, so pmean of
+            # per-shard means is not the full-batch mean) — refuse until
+            # that exists rather than silently losing dp scaling.
+            raise ValueError(
+                "fused_training is single-device only (pallas_call is "
+                "opaque to GSPMD); use a dp=1 mesh or drop --fused-anchor"
+            )
         from unirec_tpu.inference.fused_qformer import supports_fused
 
         use_fused = self.fused_reference_forwards
