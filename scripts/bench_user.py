@@ -37,6 +37,10 @@ def main():
     p.add_argument("--flash", action="store_true",
                    help="trainable flash cross-attention (sets dropout 0: "
                    "the kernel needs deterministic attention probs)")
+    p.add_argument("--fused-self", action="store_true",
+                   help="trainable fused self-attention blocks over the "
+                   "query tokens (ops/fused_qformer_vjp.py; needs --bf16 "
+                   "+ dropout 0, composes with --flash)")
     args = p.parse_args()
 
     from unirec_tpu.configs import (
@@ -50,7 +54,8 @@ def main():
     uc = UserQFormerConfig(
         gradient_checkpointing=args.remat,
         flash_training=args.flash,
-        dropout=0.0 if args.flash else 0.1,
+        fused_training=args.fused_self,
+        dropout=0.0 if (args.flash or args.fused_self) else 0.1,
     )
     trainer = UserQFormerTrainer(
         uc,
@@ -91,6 +96,7 @@ def main():
     print(
         f"RESULT user-stage batch={b} seq={s} memory={s * k} vectors "
         f"bf16={args.bf16} remat={args.remat} flash={args.flash} "
+        f"fused_self={args.fused_self} "
         f"ms_per_step={dt*1000:.1f} "
         f"samples_per_s={b/dt:.1f} loss={loss:.4f}",
         flush=True,

@@ -193,6 +193,53 @@ def test_item_qformer_fused_training_matches_xla():
         )
 
 
+def test_user_qformer_fused_self_composes_with_flash():
+    """UserQFormerConfig.fused_training engages the fused SELF blocks while
+    the cross side (packed memory tile over VMEM) falls back — composed
+    with flash_training, grads must match the plain XLA path."""
+    import dataclasses
+
+    from unirec_tpu.configs import UserQFormerConfig
+    from unirec_tpu.models.user_qformer import UserQFormer
+
+    base = UserQFormerConfig(
+        hidden_size=D, num_hidden_layers=2, num_attention_heads=HEADS,
+        intermediate_size=256, num_query_tokens=64, input_embedding_dim=D,
+        num_item_tokens_to_predict=8, dropout=0.0,
+    )
+    both = dataclasses.replace(base, fused_training=True,
+                               flash_training=True)
+    # the cross memory is large enough that fused-cross must NOT engage
+    rng = np.random.RandomState(4)
+    L = 24 * 8  # 24 history items x 8 tokens
+    seq = jnp.asarray(rng.randn(3, L, D), jnp.float32)
+    mask = jnp.asarray((rng.rand(3, L) > 0.2).astype(np.float32))
+
+    m1, m2 = UserQFormer(base), UserQFormer(both)
+    params = m1.init(jax.random.PRNGKey(0), seq, mask)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(m2.init(jax.random.PRNGKey(0), seq,
+                                             mask))
+
+    def loss(m):
+        return lambda p: jnp.mean(
+            m.apply(p, seq, mask, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(7)}) ** 2
+        )
+
+    v1, g1 = jax.value_and_grad(loss(m1))(params)
+    v2, g2 = jax.value_and_grad(loss(m2))(params)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g1),
+        jax.tree_util.tree_leaves_with_path(g2),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=3e-4, rtol=2e-4,
+            err_msg=jax.tree_util.keystr(k),
+        )
+
+
 def test_supports_fused_train_gate():
     assert supports_fused_train(32, 1024, 16, 14)
     assert supports_fused_train(8, 1024, 16, 14)

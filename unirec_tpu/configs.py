@@ -215,6 +215,14 @@ class UserQFormerConfig:
     # trainable flash cross-attention (needs attention-prob dropout = 0 to
     # engage; see QFormerConfig.flash_training)
     flash_training: bool = False
+    # trainable fused SELF-attention blocks over the 64 query tokens (see
+    # QFormerConfig.fused_training; the cross side falls back automatically
+    # — its packed memory tile exceeds VMEM — so this composes with
+    # flash_training: fused self + flash cross in the same layer).
+    # Measured speed-NEUTRAL here (90.7 vs 91.1 ms at seq 50: the
+    # 1600-vector cross dominates) — exposed for completeness, grads
+    # parity-tested (tests/test_fused_train.py)
+    fused_training: bool = False
 
     def qformer(self) -> QFormerConfig:
         return QFormerConfig(
@@ -230,6 +238,7 @@ class UserQFormerConfig:
             query_length=self.num_query_tokens,
             gradient_checkpointing=self.gradient_checkpointing,
             flash_training=self.flash_training,
+            fused_training=self.fused_training,
         )
 
 
