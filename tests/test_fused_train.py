@@ -249,35 +249,82 @@ def test_supports_fused_train_gate():
     assert not supports_fused_train(32, 2048, 16, 14)   # weights over VMEM
 
 
-def test_item_trainer_refuses_fused_training_on_dp_mesh(eight_devices):
-    """pallas_call is opaque to GSPMD: the fused-anchor trainer must refuse
-    multi-device meshes instead of silently all-gathering the batch."""
+def _item_trainer_cfg():
     import dataclasses
 
-    import pytest
+    from unirec_tpu.configs import ItemQFormerConfig
 
-    from unirec_tpu.configs import (
-        ItemQFormerConfig,
-        MeshConfig,
-        TrainConfig,
-    )
-    from unirec_tpu.train.item_qformer import ItemQFormerTrainer
-
-    cfg = dataclasses.replace(
+    return dataclasses.replace(
         ItemQFormerConfig(
             hidden_size=D, num_hidden_layers=2, num_attention_heads=HEADS,
             intermediate_size=256, num_query_tokens=32,
             field_embedding_dim=D, num_fields=5,
+            dropout=0.0,  # dp shards draw independent dropout bits; exact
+            # dp=4 == dp=1 comparison needs dropout off
         ),
         fused_training=True,
     )
-    with pytest.raises(ValueError, match="single-device"):
+
+
+def test_item_trainer_fused_dp_shard_map_matches_single_device(
+    eight_devices,
+):
+    """The kernel-bearing item step routes through an explicit shard_map on
+    dp meshes (GSPMD cannot partition pallas_call); with the pmean-count
+    recon normalization, one dp=4 step must match dp=1 exactly even with
+    NON-UNIFORM per-shard valid-field counts."""
+    from unirec_tpu.configs import (
+        MeshConfig,
+        OptimizerConfig,
+        TrainConfig,
+    )
+    from unirec_tpu.train.item_qformer import ItemQFormerTrainer
+
+    cfg = _item_trainer_cfg()
+    rng = np.random.RandomState(5)
+    b, f, d = 8, 5, D
+    mask = (rng.rand(b, f) > 0.4).astype(np.float32)
+    mask[:, 0] = 1.0  # no all-masked anchors
+    batch = {
+        "anchor_emb": jnp.asarray(rng.randn(b, f, d), jnp.float32),
+        "anchor_mask": jnp.asarray(mask),
+        "pos_emb": jnp.asarray(rng.randn(b, f, d), jnp.float32),
+        "pos_mask": jnp.ones((b, f), jnp.float32),
+        "neg_emb": jnp.asarray(rng.randn(b, f, d), jnp.float32),
+        "neg_mask": jnp.ones((b, f), jnp.float32),
+    }
+
+    def run(dp):
+        t = ItemQFormerTrainer(
+            cfg,
+            TrainConfig(batch_size=b, seed=3,
+                        optimizer=OptimizerConfig(learning_rate=1e-3),
+                        mesh=MeshConfig(dp=dp)),
+            dtype="float32",  # exact comparison; kernels run interpret
+            fused_reference_forwards=True,
+        )
+        state = t.init_state(seed=0)
+        state, m = t._train_step(state, batch)
+        return float(m["loss"]), float(m["recon"]), state
+
+    l1, r1, s1 = run(1)
+    l4, r4, s4 = run(4)
+    np.testing.assert_allclose(l4, l1, rtol=1e-6)
+    np.testing.assert_allclose(r4, r1, rtol=1e-6)
+    leaf1 = np.asarray(jax.tree_util.tree_leaves(s1.params)[0])
+    leaf4 = np.asarray(jax.tree_util.tree_leaves(s4.params)[0])
+    np.testing.assert_allclose(leaf4, leaf1, atol=1e-6)
+
+
+def test_item_trainer_fused_refuses_tp(eight_devices):
+    import pytest
+
+    from unirec_tpu.configs import MeshConfig, TrainConfig
+    from unirec_tpu.train.item_qformer import ItemQFormerTrainer
+
+    with pytest.raises(ValueError, match="tp>1"):
         ItemQFormerTrainer(
-            cfg, TrainConfig(batch_size=8, mesh=MeshConfig(dp=4)),
+            _item_trainer_cfg(),
+            TrainConfig(batch_size=8, mesh=MeshConfig(dp=4, tp=2)),
             dtype="bfloat16",
         )
-    # dp=1 constructs fine
-    ItemQFormerTrainer(
-        cfg, TrainConfig(batch_size=8, mesh=MeshConfig(dp=1)),
-        dtype="bfloat16",
-    )

@@ -20,13 +20,24 @@ def masked_reconstruction_mse(
     reconstructed: jax.Array,  # [B, F, D]
     target: jax.Array,  # [B, F, D]
     field_mask: jax.Array,  # [B, F]
+    axis_name: Optional[str] = None,
 ) -> jax.Array:
     """Sum of per-element squared error over valid fields / number of valid
     fields (reference: training/item_qformer_training.py:51-53 — note the
-    denominator is mask.sum(), i.e. the loss is per-field summed over D)."""
+    denominator is mask.sum(), i.e. the loss is per-field summed over D).
+
+    ``axis_name``: set when running INSIDE ``jax.shard_map`` over a dp
+    axis.  The denominator is the valid-field count, which varies per
+    shard, so a pmean of per-shard means is NOT the full-batch mean; using
+    ``pmean(count)`` as the denominator makes both the pmean'd VALUE and
+    the pmean'd GRADIENTS exactly match the full-batch step:
+    pmean_s(sum_s / (C/S)) = (Σ_s sum_s) / C."""
     err = (reconstructed - target) ** 2  # [B, F, D]
     masked = err * field_mask[..., None]
-    return masked.sum() / jnp.maximum(field_mask.sum(), 1.0)
+    count = field_mask.sum()
+    if axis_name is not None:
+        count = jax.lax.pmean(count, axis_name)
+    return masked.sum() / jnp.maximum(count, 1.0)
 
 
 def triplet_margin_loss(
@@ -52,12 +63,16 @@ def item_qformer_loss(
     reconstruction_weight: float = 1.0,
     contrastive_weight: float = 0.25,
     margin: float = 0.5,
+    axis_name: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Combined item Q-Former training loss
     (reference: training/item_qformer_training.py:49-56; weights from the
-    production run at :200,42)."""
+    production run at :200,42).  ``axis_name``: see
+    masked_reconstruction_mse — the triplet term is a per-sample mean over
+    equal shards, so plain pmean is already exact for it."""
     recon = masked_reconstruction_mse(
-        model_output["reconstructed_fields"], field_embeddings, field_mask
+        model_output["reconstructed_fields"], field_embeddings, field_mask,
+        axis_name=axis_name,
     )
     cont = triplet_margin_loss(
         model_output["item_representation"], positive_rep, negative_rep, margin

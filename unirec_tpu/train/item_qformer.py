@@ -87,6 +87,7 @@ def make_train_step(
     fused_precision: str = "bf16",
     return_grads: bool = False,
     seed: int = 0,
+    axis_name: Optional[str] = None,
 ):
     """One jitted step. ``fused_reference_config``: when set (an
     ItemQFormerConfig), the no-gradient positive/negative forwards run
@@ -95,7 +96,11 @@ def make_train_step(
     step's 3 forwards move to the fast path (TPU only).
     ``fused_precision="int8"`` additionally runs them on the W8A8 kernels
     (weights re-quantized in-graph each step — a few VPU passes over 110M
-    params, negligible next to the forwards they accelerate)."""
+    params, negligible next to the forwards they accelerate).
+    ``axis_name``: set when the step runs INSIDE ``jax.shard_map`` over a
+    dp axis (the kernel-bearing paths — GSPMD cannot partition
+    pallas_call); losses use pmean-count normalization so pmean of
+    per-shard (loss, grads) is exactly the full-batch step."""
 
     def fused_ref_representation(params, emb, mask):
         from unirec_tpu.inference.fused_qformer import (
@@ -135,6 +140,10 @@ def make_train_step(
         rng = jax.random.fold_in(
             jax.random.key(seed, impl="rbg"), state.step
         )
+        if axis_name is not None:
+            # per-shard independent dropout bits (same determinism
+            # contract: seed + step + shard index)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
 
         def loss_fn(params):
             anc = model.apply(
@@ -171,12 +180,18 @@ def make_train_step(
                 reconstruction_weight,
                 contrastive_weight,
                 margin,
+                axis_name=axis_name,
             )
             return total, (recon, cont)
 
         (total, (recon, cont)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        if axis_name is not None:
+            total = jax.lax.pmean(total, axis_name)
+            recon = jax.lax.pmean(recon, axis_name)
+            cont = jax.lax.pmean(cont, axis_name)
+            grads = jax.lax.pmean(grads, axis_name)
         state = state.apply_gradients(grads=grads)
         metrics = {"loss": total, "recon": recon, "contrastive": cont}
         if return_grads:  # parity-test instrumentation
@@ -220,10 +235,11 @@ class ItemQFormerTrainer:
     # "float32" (strict reference parity) or "bfloat16" (mixed precision:
     # bf16 activations, fp32 params/optimizer — the MXU-native mode)
     dtype: str = "float32"
-    # None = auto: fused bf16 pos/neg forwards on TPU, single-device mesh,
-    # bf16 activations only (fp32 mode keeps strict reference numerics
-    # end-to-end; pass True to opt in explicitly). pallas_call does not
-    # partition under GSPMD, so dp>1 meshes stay on the XLA path.
+    # None = auto: fused bf16 pos/neg forwards on TPU with bf16 activations
+    # (fp32 mode keeps strict reference numerics end-to-end; pass True to
+    # opt in explicitly). pallas_call does not partition under GSPMD, so
+    # dp>1 meshes route the whole step through an explicit shard_map
+    # (exact: pmean-count loss normalization); tp>1 disables fused refs.
     fused_reference_forwards: Optional[bool] = None
     # "bf16" (default) or "int8": precision of the fused pos/neg reference
     # forwards (they only produce stop-gradient triplet targets; int8 runs
@@ -236,20 +252,12 @@ class ItemQFormerTrainer:
         )
         self.model = ItemQFormer(self.model_config, dtype=compute_dtype)
         self.mesh = make_mesh(self.train_config.mesh)
-        if (
-            getattr(self.model_config, "fused_training", False)
-            and self.mesh.devices.size > 1
-        ):
-            # the trainable fused kernels are pallas_calls inside the
-            # gradient path: GSPMD cannot partition them, so the dp-sharded
-            # step would all-gather the batch per device.  An exact
-            # shard_map route needs sum/count-pmean'd losses (the masked
-            # recon MSE normalizes by valid-field count, so pmean of
-            # per-shard means is not the full-batch mean) — refuse until
-            # that exists rather than silently losing dp scaling.
+        fused_anchor = getattr(self.model_config, "fused_training", False)
+        if fused_anchor and self.mesh.shape["tp"] > 1:
             raise ValueError(
-                "fused_training is single-device only (pallas_call is "
-                "opaque to GSPMD); use a dp=1 mesh or drop --fused-anchor"
+                "fused_training is incompatible with tp>1 (pallas_call is "
+                "opaque to GSPMD and the kernels have no in-kernel "
+                "collectives); use dp-only meshes"
             )
         from unirec_tpu.inference.fused_qformer import supports_fused
 
@@ -258,19 +266,30 @@ class ItemQFormerTrainer:
             use_fused = (
                 jax.default_backend() == "tpu" and self.dtype == "bfloat16"
             )
-        # pallas_call does not partition under GSPMD: single-device mesh only
+        # kernel-bearing paths cannot partition under GSPMD; multi-device
+        # dp meshes route through an explicit shard_map instead (exact:
+        # the losses pmean their valid-field counts)
+        multi = self.mesh.devices.size > 1
         use_fused = (
             use_fused
             and supports_fused(self.model_config)
-            and self.mesh.devices.size == 1
+            and (not multi or self.mesh.shape["tp"] == 1)
         )
+        kernel_step = use_fused or fused_anchor
         step = make_train_step(
             self.model, self.reconstruction_weight, self.contrastive_weight,
             fused_reference_config=self.model_config if use_fused else None,
             fused_precision=self.fused_precision,
             seed=self.train_config.seed,
+            axis_name="dp" if (kernel_step and multi) else None,
         )
-        self._train_step = data_parallel_jit(step, self.mesh)
+        self._dp_shard_map = bool(kernel_step and multi)
+        if self._dp_shard_map:
+            from unirec_tpu.parallel.mesh import dp_shard_map_jit
+
+            self._train_step = dp_shard_map_jit(step, self.mesh)
+        else:
+            self._train_step = data_parallel_jit(step, self.mesh)
         self._eval_step = make_eval_step(self.model)
         self.dp_size = self.mesh.shape["dp"]
 
