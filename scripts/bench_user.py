@@ -42,6 +42,11 @@ def main():
                    "query tokens (ops/fused_qformer_vjp.py; needs --bf16 "
                    "+ dropout 0, composes with --flash)")
     args = p.parse_args()
+    if args.fused_self and not args.bf16:
+        # the fused kernels are bf16-only (model gate: q.dtype == bf16) —
+        # without --bf16 the step would silently run the XLA path while
+        # the RESULT line claims fused_self=True
+        p.error("--fused-self requires --bf16")
 
     from unirec_tpu.configs import (
         MeshConfig,

@@ -328,3 +328,138 @@ def test_item_trainer_fused_refuses_tp(eight_devices):
             TrainConfig(batch_size=8, mesh=MeshConfig(dp=4, tp=2)),
             dtype="bfloat16",
         )
+
+
+def _user_trainer_cfg():
+    from unirec_tpu.configs import UserQFormerConfig
+
+    return UserQFormerConfig(
+        hidden_size=D, num_hidden_layers=2, num_attention_heads=HEADS,
+        intermediate_size=256, num_query_tokens=64, input_embedding_dim=D,
+        num_item_tokens_to_predict=8,
+        dropout=0.0,  # dp shards draw independent dropout bits; the exact
+        # dp=4 == dp=1 comparison needs hidden dropout off too
+        fused_training=True, flash_training=True,
+    )
+
+
+def test_user_config_kernel_flags_zero_prob_dropout():
+    """fused_training/flash_training must zero attention-PROB dropout in the
+    derived QFormerConfig — the kernels only engage when the prob-dropout
+    rng is absent, so leaving it at the configured rate would make the
+    flags silently inert in training (hidden dropout stays configured)."""
+    import dataclasses
+
+    from unirec_tpu.configs import UserQFormerConfig
+
+    base = UserQFormerConfig(dropout=0.1)
+    assert base.qformer().attention_probs_dropout_prob == 0.1
+    for flag in ("fused_training", "flash_training"):
+        qc = dataclasses.replace(base, **{flag: True}).qformer()
+        assert qc.attention_probs_dropout_prob == 0.0, flag
+        assert qc.hidden_dropout_prob == 0.1, flag
+
+
+def test_user_trainer_kernel_dp_shard_map_matches_single_device(
+    eight_devices,
+):
+    """UserQFormerTrainer with kernel-bearing training flags routes dp
+    meshes through an explicit shard_map (GSPMD cannot partition
+    pallas_call); with the pmean'd weight-sum normalization, one dp=4 step
+    must match dp=1 exactly even with NON-UNIFORM per-shard sample
+    weights (including zero-weighted rows)."""
+    from unirec_tpu.configs import (
+        MeshConfig,
+        OptimizerConfig,
+        TrainConfig,
+    )
+    from unirec_tpu.train.user_qformer import UserQFormerTrainer
+
+    cfg = _user_trainer_cfg()
+    rng = np.random.RandomState(11)
+    b, s = 8, 12
+    k, d = cfg.num_item_tokens_to_predict, cfg.input_embedding_dim
+    batch = {
+        "item_tokens": jnp.asarray(rng.randn(b, s, k, d), jnp.float32),
+        "timestamps": jnp.asarray(rng.rand(b, s) * 1e9, jnp.float32),
+        "coordinates": jnp.asarray(rng.randn(b, s, 2), jnp.float32),
+        "seq_mask": jnp.ones((b, s), jnp.float32),
+        "target_tokens": jnp.asarray(rng.randn(b, k, d), jnp.float32),
+        # per-shard weight sums 2, 1, 2, 0 — exercises both the uneven
+        # normalization and an all-zero shard (clamped globally)
+        "sample_weight": jnp.asarray(
+            [1, 1, 0, 1, 1, 1, 0, 0], jnp.float32
+        ),
+    }
+
+    def run(dp):
+        t = UserQFormerTrainer(
+            cfg,
+            TrainConfig(batch_size=b, seed=3,
+                        optimizer=OptimizerConfig(learning_rate=1e-3),
+                        mesh=MeshConfig(dp=dp)),
+            dtype="float32",  # exact comparison; kernels run interpret
+        )
+        state = t.init_state(seed=0)
+        state, m = t._train_step(state, batch)
+        return float(m["loss"]), state
+
+    l1, s1 = run(1)
+    l4, s4 = run(4)
+    np.testing.assert_allclose(l4, l1, rtol=1e-6)
+    leaf1 = np.asarray(jax.tree_util.tree_leaves(s1.params)[0])
+    leaf4 = np.asarray(jax.tree_util.tree_leaves(s4.params)[0])
+    np.testing.assert_allclose(leaf4, leaf1, atol=1e-6)
+
+
+def test_masked_recon_pmean_degenerate_count(eight_devices):
+    """0 < global valid-field count C < n_shards must still match dp=1:
+    the all-empty clamp applies to the GLOBAL count (max(C,1)/S), not the
+    per-shard pmean (which is C/S < 1 and must NOT be clamped to 1)."""
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    from unirec_tpu.ops.losses import masked_reconstruction_mse
+
+    rng = np.random.RandomState(0)
+    b, f, d = 8, 3, 4
+    recon = jnp.asarray(rng.randn(b, f, d), jnp.float32)
+    target = jnp.asarray(rng.randn(b, f, d), jnp.float32)
+    mask = np.zeros((b, f), np.float32)
+    mask[0, 0] = 1.0
+    mask[5, 2] = 1.0  # C=2 valid fields over S=4 shards
+    mask = jnp.asarray(mask)
+
+    mesh = Mesh(np.array(eight_devices[:4]), ("dp",))
+
+    def sharded_loss(r, t, m):
+        return jax.lax.pmean(
+            masked_reconstruction_mse(r, t, m, axis_name="dp"), "dp"
+        )
+
+    run = jax.jit(jax.shard_map(
+        sharded_loss, mesh=mesh, in_specs=(P("dp"), P("dp"), P("dp")),
+        out_specs=P(), check_vma=False,
+    ))
+    full = masked_reconstruction_mse(recon, target, mask)
+    np.testing.assert_allclose(float(run(recon, target, mask)),
+                               float(full), rtol=1e-6)
+
+    # all-masked batch: the clamp guards div-by-zero, loss stays 0
+    zmask = jnp.zeros((b, f))
+    assert float(run(recon, target, zmask)) == 0.0
+    assert float(masked_reconstruction_mse(recon, target, zmask)) == 0.0
+
+
+def test_user_trainer_kernel_refuses_tp(eight_devices):
+    import pytest
+
+    from unirec_tpu.configs import MeshConfig, TrainConfig
+    from unirec_tpu.train.user_qformer import UserQFormerTrainer
+
+    with pytest.raises(ValueError, match="tp>1"):
+        UserQFormerTrainer(
+            _user_trainer_cfg(),
+            TrainConfig(batch_size=8, mesh=MeshConfig(dp=4, tp=2)),
+            dtype="bfloat16",
+        )

@@ -212,8 +212,8 @@ class UserQFormerConfig:
     # bound by the saved [B, H, 64, seq*K] attention probs — remat keeps one
     # layer's worth instead of num_hidden_layers (BASELINE.md round 3)
     gradient_checkpointing: bool = False
-    # trainable flash cross-attention (needs attention-prob dropout = 0 to
-    # engage; see QFormerConfig.flash_training)
+    # trainable flash cross-attention (the kernel zeroes attention-PROB
+    # dropout — qformer() does that below; hidden dropout stays exact)
     flash_training: bool = False
     # trainable fused SELF-attention blocks over the 64 query tokens (see
     # QFormerConfig.fused_training; the cross side falls back automatically
@@ -221,17 +221,23 @@ class UserQFormerConfig:
     # flash_training: fused self + flash cross in the same layer).
     # Measured speed-NEUTRAL here (90.7 vs 91.1 ms at seq 50: the
     # 1600-vector cross dominates) — exposed for completeness, grads
-    # parity-tested (tests/test_fused_train.py)
+    # parity-tested (tests/test_fused_train.py). Zeroes attention-PROB
+    # dropout like flash_training and ItemQFormerConfig.fused_training.
     fused_training: bool = False
 
     def qformer(self) -> QFormerConfig:
+        # the trainable kernels only engage when the attention-prob dropout
+        # rng is absent (models/qformer.py fused_ok/flash gates) — zero it
+        # when either kernel flag is set so the flags are never silently
+        # inert; hidden-state dropout keeps the configured rate
+        kernel_train = self.fused_training or self.flash_training
         return QFormerConfig(
             hidden_size=self.hidden_size,
             num_hidden_layers=self.num_hidden_layers,
             num_attention_heads=self.num_attention_heads,
             intermediate_size=self.intermediate_size,
             hidden_dropout_prob=self.dropout,
-            attention_probs_dropout_prob=self.dropout,
+            attention_probs_dropout_prob=0.0 if kernel_train else self.dropout,
             add_cross_attention=True,
             cross_attention_freq=1,
             encoder_width=self.input_embedding_dim,

@@ -36,7 +36,12 @@ def masked_reconstruction_mse(
     masked = err * field_mask[..., None]
     count = field_mask.sum()
     if axis_name is not None:
+        # Clamp the GLOBAL count, not the per-shard pmean: pmean(count) is
+        # C/S, so the all-empty guard must be max(C,1)/S = max(C/S, 1/S) or
+        # a batch with 0 < C < S valid fields would diverge from dp=1.
+        n_shards = jax.lax.psum(1, axis_name)
         count = jax.lax.pmean(count, axis_name)
+        return masked.sum() / jnp.maximum(count, 1.0 / n_shards)
     return masked.sum() / jnp.maximum(count, 1.0)
 
 

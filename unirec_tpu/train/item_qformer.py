@@ -273,7 +273,7 @@ class ItemQFormerTrainer:
         use_fused = (
             use_fused
             and supports_fused(self.model_config)
-            and (not multi or self.mesh.shape["tp"] == 1)
+            and self.mesh.shape["tp"] == 1
         )
         kernel_step = use_fused or fused_anchor
         step = make_train_step(

@@ -134,9 +134,30 @@ class UserQFormerTrainer:
         )
         self.mesh = make_mesh(self.train_config.mesh)
         self.dp_size = self.mesh.shape["dp"]
-        self._train_step = data_parallel_jit(self._make_step(), self.mesh)
+        # flash/fused training puts pallas_call in the gradient path, which
+        # GSPMD cannot partition — multi-device dp meshes route through an
+        # explicit shard_map like the item/joint trainers (exact: the
+        # weighted loss pmeans its weight sum); tp>1 is refused, the
+        # kernels have no in-kernel collectives
+        kernel_step = (
+            self.user_config.flash_training or self.user_config.fused_training
+        )
+        if kernel_step and self.mesh.shape["tp"] > 1:
+            raise ValueError(
+                "flash_training/fused_training are incompatible with tp>1 "
+                "(pallas_call is opaque to GSPMD); use dp-only meshes"
+            )
+        if kernel_step and self.mesh.devices.size > 1:
+            from unirec_tpu.parallel.mesh import dp_shard_map_jit
 
-    def _make_step(self, return_grads: bool = False):
+            self._train_step = dp_shard_map_jit(
+                self._make_step(axis_name="dp"), self.mesh
+            )
+        else:
+            self._train_step = data_parallel_jit(self._make_step(), self.mesh)
+
+    def _make_step(self, return_grads: bool = False,
+                   axis_name: Optional[str] = None):
         user_model, seq_model = self.user_model, self.seq_model
         train_context = self.train_context
         seq_apply = seq_model.apply
@@ -154,6 +175,12 @@ class UserQFormerTrainer:
             rng = jax.random.fold_in(
                 jax.random.key(seed, impl="rbg"), state.step
             )
+            if axis_name is not None:
+                # distinct dropout bits per shard (inside shard_map the
+                # same key would repeat across devices)
+                rng = jax.random.fold_in(
+                    rng, jax.lax.axis_index(axis_name)
+                )
 
             def loss_fn(params):
                 seq_params = params["sequence"]
@@ -175,13 +202,26 @@ class UserQFormerTrainer:
                 )
                 w = batch.get("sample_weight")
                 if w is None:  # static: decided by the batch's pytree keys
+                    # equal shard sizes (pad_batch) → pmean of per-shard
+                    # means IS the full-batch mean
                     return mse_loss(pred, batch["target_tokens"])
                 per = jnp.mean(
                     (pred - batch["target_tokens"]) ** 2, axis=(1, 2)
                 )
-                return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+                wsum = jnp.sum(w)
+                if axis_name is None:
+                    return jnp.sum(per * w) / jnp.maximum(wsum, 1.0)
+                # inside shard_map: normalize by the GLOBAL weight sum so
+                # pmean of per-shard losses equals the full-batch loss
+                # (clamp max(W,1)/S = max(W/S, 1/S); see ops/losses.py)
+                n_shards = jax.lax.psum(1, axis_name)
+                wsum = jax.lax.pmean(wsum, axis_name)
+                return jnp.sum(per * w) / jnp.maximum(wsum, 1.0 / n_shards)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            if axis_name is not None:
+                loss = jax.lax.pmean(loss, axis_name)
+                grads = jax.lax.pmean(grads, axis_name)
             state = state.apply_gradients(grads=grads)
             metrics = {"loss": loss}
             if return_grads:  # parity-test instrumentation
