@@ -350,3 +350,37 @@ def test_tokens_cli_dp_sharded_sweep(pipeline_dir):
     assert set(dp_tokens) == set(single) and len(single) == N_ITEMS
     for iid in list(single)[:8]:
         np.testing.assert_allclose(dp_tokens[iid], single[iid], atol=1e-5)
+
+
+def test_export_pth_cli(pipeline_dir):
+    """`train export-pth` writes a reference-schema .pth from an orbax
+    checkpoint; it loads back through the same inference entry point with
+    identical outputs (the strict torch-module load is covered by
+    tests/test_reference_checkpoint.py)."""
+    d = pipeline_dir
+    ckpt = str(d / "iq_ckpt")
+    if not os.path.exists(os.path.join(ckpt, "meta.json")):
+        test_train_and_tokens_cli(pipeline_dir)
+    torch = pytest.importorskip("torch")
+
+    pth = str(d / "exported.pth")
+    assert train_main(["export-pth", "--checkpoint", ckpt,
+                       "--output", pth]) == 0
+    ck = torch.load(pth, map_location="cpu", weights_only=False)
+    assert set(ck) == {"model_state_dict", "config", "field_names"}
+    assert ck["config"].query_length == 4
+
+    from unirec_tpu.inference.qformer_inference import QFormerInference
+
+    a = QFormerInference(ckpt, batch_size=8)
+    b = QFormerInference(pth, batch_size=8)
+    assert a.field_names == b.field_names
+    rng = np.random.RandomState(0)
+    f = len(a.field_names)
+    fields = rng.randn(3, f, a.config.field_embedding_dim).astype(np.float32)
+    mask = np.ones((3, f), np.float32)
+    np.testing.assert_allclose(
+        a.query_tokens_from_embeddings(fields, mask),
+        b.query_tokens_from_embeddings(fields, mask),
+        atol=1e-5,
+    )

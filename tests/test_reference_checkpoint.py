@@ -67,3 +67,129 @@ def test_pth_checkpoint_roundtrip(tmp_path):
     # correlation must be essentially 1
     c = np.corrcoef(tokens.ravel(), t_out.ravel())[0, 1]
     assert c > 0.999
+
+
+def test_export_roundtrip_into_reference(tmp_path):
+    """The OTHER direction: a TPU-trained ItemQFormer exports to a
+    reference-schema ``best_qformer_model.pth`` that (a) loads STRICT into
+    the reference ``QFormerForItemRepresentation`` rebuilt from the pickled
+    config exactly as data_processing/qformer_inference.py:29-48 does, with
+    matching forward outputs, and (b) round-trips back through the import
+    converter to the identical Flax tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from models.qformer_utils import QFormerForItemRepresentation  # oracle
+    from unirec_tpu.configs import ItemQFormerConfig
+    from unirec_tpu.models.item_qformer import ItemQFormer
+    from unirec_tpu.utils.torch_convert import (
+        load_reference_item_qformer_checkpoint,
+        save_reference_item_qformer_checkpoint,
+    )
+
+    cfg = ItemQFormerConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, num_query_tokens=4, field_embedding_dim=48,
+        num_fields=5, dropout=0.0,
+    )
+    model = ItemQFormer(config=cfg)
+    rng = np.random.RandomState(1)
+    fields = rng.randn(3, 5, 48).astype(np.float32)
+    mask = np.asarray(
+        [[1, 1, 1, 0, 0], [1, 1, 1, 1, 1], [1, 0, 0, 0, 0]], np.float32
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(fields), jnp.asarray(mask),
+        deterministic=True,
+    )
+
+    path = str(tmp_path / "best_qformer_model.pth")
+    save_reference_item_qformer_checkpoint(
+        path, variables["params"], cfg, ["a", "b", "c", "d", "e"]
+    )
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    config = ckpt["config"]
+    tmodel = QFormerForItemRepresentation(
+        hidden_size=config.hidden_size,
+        num_hidden_layers=config.num_hidden_layers,
+        num_attention_heads=config.num_attention_heads,
+        intermediate_size=config.intermediate_size,
+        num_query_tokens=config.query_length,
+        field_embedding_dim=config.encoder_width,
+        num_fields=len(ckpt["field_names"]),
+        dropout=config.hidden_dropout_prob,
+    )
+    tmodel.load_state_dict(ckpt["model_state_dict"], strict=True)
+    tmodel.eval()
+
+    out = model.apply(
+        variables, jnp.asarray(fields), jnp.asarray(mask), deterministic=True
+    )
+    with torch.no_grad():
+        t_out = tmodel(torch.tensor(fields), torch.tensor(mask))
+    for key in ("query_outputs", "item_representation", "reconstructed_fields"):
+        np.testing.assert_allclose(
+            np.asarray(out[key], np.float32), t_out[key].numpy(),
+            atol=2e-5, err_msg=key,
+        )
+
+    cfg2, vars2, names2 = load_reference_item_qformer_checkpoint(path)
+    assert names2 == ["a", "b", "c", "d", "e"]
+    assert cfg2 == cfg
+    # the re-imported tree gains the synthesized torch-only leaves (zero
+    # word/position tables, zero text FFNs), so compare via a second export:
+    # it must reproduce the first state_dict bit-for-bit
+    from unirec_tpu.utils.torch_convert import export_item_qformer
+
+    sd1 = export_item_qformer(variables["params"], cfg)
+    sd2 = export_item_qformer(vars2["params"], cfg2)
+    assert sorted(sd1) == sorted(sd2)
+    for k in sd1:
+        np.testing.assert_array_equal(sd1[k], sd2[k], err_msg=k)
+
+
+def test_user_export_loads_strict_into_reference():
+    """export_user_qformer produces a state_dict the reference UserQFormer
+    (training/user_qformer_training.py:17-45) loads strict, with matching
+    forward predictions."""
+    import jax
+    import jax.numpy as jnp
+
+    from training.user_qformer_training import UserQFormer as RefUserQFormer
+    from unirec_tpu.configs import UserQFormerConfig
+    from unirec_tpu.models.user_qformer import UserQFormer
+    from unirec_tpu.utils.torch_convert import export_user_qformer
+
+    kw = dict(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, num_query_tokens=8, input_embedding_dim=48,
+        num_item_tokens_to_predict=4, dropout=0.0,
+    )
+    cfg = UserQFormerConfig(**kw)
+    model = UserQFormer(config=cfg)
+    rng = np.random.RandomState(2)
+    seq = rng.randn(3, 10, 48).astype(np.float32)
+    mask = np.ones((3, 10), np.float32)
+    mask[0, 6:] = 0.0
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(seq), jnp.asarray(mask),
+        deterministic=True,
+    )
+
+    tmodel = RefUserQFormer(**kw)
+    sd = {
+        k: torch.from_numpy(np.array(v))
+        for k, v in export_user_qformer(variables["params"], cfg).items()
+    }
+    tmodel.load_state_dict(sd, strict=True)
+    tmodel.eval()
+
+    pred = model.apply(
+        variables, jnp.asarray(seq), jnp.asarray(mask), deterministic=True
+    )
+    with torch.no_grad():
+        t_pred = tmodel(torch.tensor(seq), torch.tensor(mask))
+    np.testing.assert_allclose(
+        np.asarray(pred, np.float32), t_pred.numpy(), atol=2e-5
+    )

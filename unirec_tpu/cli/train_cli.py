@@ -135,6 +135,16 @@ def main(argv=None) -> int:
     sp.add_argument("--cache-dir", required=True)
     sp.add_argument("--batch-size", type=int, default=256)
 
+    sp = sub.add_parser(
+        "export-pth",
+        help="export an item Q-Former checkpoint to the reference's "
+             "best_qformer_model.pth schema (consumable by the reference's "
+             "qformer_inference.py without modification)",
+    )
+    sp.add_argument("--checkpoint", required=True,
+                    help="orbax checkpoint dir (or an existing .pth)")
+    sp.add_argument("--output", required=True, help="output .pth path")
+
     args = p.parse_args(argv)
     return _dispatch(args)
 
@@ -323,6 +333,20 @@ def _dispatch(args) -> int:
             model, inf.params, cache, batch_size=args.batch_size
         )
         print(json.dumps(res, indent=2))
+        return 0
+
+    if args.cmd == "export-pth":
+        from unirec_tpu.inference.qformer_inference import QFormerInference
+        from unirec_tpu.utils.torch_convert import (
+            save_reference_item_qformer_checkpoint,
+        )
+
+        inf = QFormerInference(args.checkpoint)
+        save_reference_item_qformer_checkpoint(
+            args.output, inf.params["params"], inf.config, inf.field_names
+        )
+        print(f"wrote reference-schema checkpoint -> {args.output} "
+              f"({len(inf.field_names)} fields)")
         return 0
 
     raise SystemExit(f"unknown command {args.cmd}")

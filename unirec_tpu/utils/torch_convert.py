@@ -239,6 +239,201 @@ def load_reference_item_qformer_checkpoint(path: str):
     return cfg, {"params": params}, field_names
 
 
+# ---------------------------------------------------------------------------
+# Export (Flax -> reference torch state_dict): the inverse direction, so
+# checkpoints trained here round-trip INTO the reference's consumers
+# (reference: data_processing/qformer_inference.py:25-48 loads
+# {model_state_dict, config, field_names} and rebuilds
+# QFormerForItemRepresentation from it).
+# ---------------------------------------------------------------------------
+
+
+def _put_dense(sd: Dict[str, np.ndarray], prefix: str, p: Mapping[str, Any]) -> None:
+    sd[prefix + ".weight"] = np.ascontiguousarray(_np(p["kernel"]).T)
+    if "bias" in p:
+        sd[prefix + ".bias"] = _np(p["bias"])
+
+
+def _put_layernorm(sd: Dict[str, np.ndarray], prefix: str, p: Mapping[str, Any]) -> None:
+    sd[prefix + ".weight"] = _np(p["scale"])
+    sd[prefix + ".bias"] = _np(p["bias"])
+
+
+def _put_attention(sd: Dict[str, np.ndarray], prefix: str, p: Mapping[str, Any]) -> None:
+    _put_dense(sd, f"{prefix}.self.query", p["query"])
+    _put_dense(sd, f"{prefix}.self.key", p["key"])
+    _put_dense(sd, f"{prefix}.self.value", p["value"])
+    _put_dense(sd, f"{prefix}.output.dense", p["output_dense"])
+    _put_layernorm(sd, f"{prefix}.output.LayerNorm", p["output_LayerNorm"])
+    if "distance_embedding" in p:
+        sd[f"{prefix}.self.distance_embedding.weight"] = _np(
+            p["distance_embedding"]["embedding"]
+        )
+
+
+def _put_ffn(
+    sd: Dict[str, np.ndarray], inter_prefix: str, out_prefix: str, p: Mapping[str, Any]
+) -> None:
+    _put_dense(sd, f"{inter_prefix}.dense", p["intermediate_dense"])
+    _put_dense(sd, f"{out_prefix}.dense", p["output_dense"])
+    _put_layernorm(sd, f"{out_prefix}.LayerNorm", p["output_LayerNorm"])
+
+
+def _zero_ffn(
+    sd: Dict[str, np.ndarray], inter_prefix: str, out_prefix: str, hidden: int, inter: int
+) -> None:
+    """Identity-shaped placeholder for a text FFN the Flax tree never created
+    (query-only flows never execute it; torch materializes it regardless)."""
+    sd[f"{inter_prefix}.dense.weight"] = np.zeros((inter, hidden), np.float32)
+    sd[f"{inter_prefix}.dense.bias"] = np.zeros((inter,), np.float32)
+    sd[f"{out_prefix}.dense.weight"] = np.zeros((hidden, inter), np.float32)
+    sd[f"{out_prefix}.dense.bias"] = np.zeros((hidden,), np.float32)
+    sd[f"{out_prefix}.LayerNorm.weight"] = np.ones((hidden,), np.float32)
+    sd[f"{out_prefix}.LayerNorm.bias"] = np.zeros((hidden,), np.float32)
+
+
+def export_qformer_model(
+    params: Mapping[str, Any], config: QFormerConfig, prefix: str = ""
+) -> Dict[str, np.ndarray]:
+    """QFormerModel params -> torch BertModel state_dict (numpy values).
+
+    Inverse of :func:`convert_qformer_model`, with the torch-only pieces the
+    functional tree has no reason to hold synthesized so ``load_state_dict``
+    is strict-clean against the reference module
+    (reference: models/qformer.py:50-75 — BertEmbeddings always materializes
+    word/position tables and the ``position_ids`` buffer; :288-294 — every
+    BertLayer has a text FFN even when only the query FFN ever runs):
+
+    - missing word/position embedding tables -> zeros (unused: query-only
+      flows never feed ``input_ids``);
+    - missing per-layer text FFNs -> zero Linears + identity LayerNorm;
+    - ``embeddings.position_ids`` -> ``arange(max_position_embeddings)``.
+    """
+    p = prefix
+    sd: Dict[str, np.ndarray] = {}
+    emb = params["embeddings"]
+    _put_layernorm(sd, f"{p}embeddings.LayerNorm", emb["LayerNorm"])
+    hidden = config.hidden_size
+    if "word_embeddings" in emb:
+        sd[f"{p}embeddings.word_embeddings.weight"] = _np(
+            emb["word_embeddings"]["embedding"]
+        )
+    else:
+        sd[f"{p}embeddings.word_embeddings.weight"] = np.zeros(
+            (config.vocab_size, hidden), np.float32
+        )
+    if "position_embeddings" in emb:
+        sd[f"{p}embeddings.position_embeddings.weight"] = _np(
+            emb["position_embeddings"]["embedding"]
+        )
+    else:
+        sd[f"{p}embeddings.position_embeddings.weight"] = np.zeros(
+            (config.max_position_embeddings, hidden), np.float32
+        )
+    sd[f"{p}embeddings.position_ids"] = np.arange(
+        config.max_position_embeddings, dtype=np.int64
+    )[None, :]
+
+    for i in range(config.num_hidden_layers):
+        layer = params["encoder"][f"layer_{i}"]
+        lp = f"{p}encoder.layer.{i}"
+        _put_attention(sd, f"{lp}.attention", layer["attention"])
+        if "crossattention" in layer:
+            _put_attention(sd, f"{lp}.crossattention", layer["crossattention"])
+        _put_ffn(sd, f"{lp}.intermediate_query", f"{lp}.output_query", layer["ffn_query"])
+        if "ffn" in layer:
+            _put_ffn(sd, f"{lp}.intermediate", f"{lp}.output", layer["ffn"])
+        else:
+            _zero_ffn(
+                sd, f"{lp}.intermediate", f"{lp}.output", hidden, config.intermediate_size
+            )
+    if "pooler" in params:
+        _put_dense(sd, f"{p}pooler.dense", params["pooler"]["dense"])
+    return sd
+
+
+def export_item_qformer(
+    params: Mapping[str, Any], config: ItemQFormerConfig
+) -> Dict[str, np.ndarray]:
+    """ItemQFormer params -> torch QFormerForItemRepresentation state_dict
+    (inverse of :func:`convert_item_qformer`; layout per reference
+    models/qformer_utils.py:29-35)."""
+    sd: Dict[str, np.ndarray] = {
+        "query_embeddings": _np(params["query_embeddings"]),
+        "field_projection.weight": np.ascontiguousarray(
+            _np(params["field_projection"]["kernel"]).T
+        ),
+        "field_projection.bias": _np(params["field_projection"]["bias"]),
+    }
+    _put_dense(sd, "item_representation_head", params["item_representation_head"])
+    _put_dense(sd, "reconstruction_head", params["reconstruction_head"])
+    sd.update(export_qformer_model(params["qformer"], config.qformer(), prefix="qformer."))
+    return sd
+
+
+def export_user_qformer(
+    params: Mapping[str, Any], config: UserQFormerConfig
+) -> Dict[str, np.ndarray]:
+    """UserQFormer params -> torch state_dict (inverse of
+    :func:`convert_user_qformer`; reference
+    training/user_qformer_training.py:17-45)."""
+    sd: Dict[str, np.ndarray] = {"query_embeddings": _np(params["query_embeddings"])}
+    _put_dense(sd, "prediction_head.0", params["head_dense1"])
+    _put_layernorm(sd, "prediction_head.2", params["head_norm"])
+    _put_dense(sd, "prediction_head.3", params["head_dense2"])
+    sd.update(export_qformer_model(params["qformer"], config.qformer(), prefix="qformer."))
+    return sd
+
+
+def save_reference_item_qformer_checkpoint(
+    path: str,
+    params: Mapping[str, Any],
+    config: ItemQFormerConfig,
+    field_names,
+) -> None:
+    """Write a reference-schema ``best_qformer_model.pth``.
+
+    The saved dict is exactly what the reference trainer writes
+    (training/item_qformer_training.py:176-186: ``model_state_dict`` /
+    ``config`` / ``field_names``), so reference tools — e.g.
+    data_processing/qformer_inference.py — consume checkpoints trained on
+    TPU without modification.  The pickled config is the stock
+    ``transformers.BertConfig`` the reference wrapper itself builds
+    (models/qformer_utils.py:23-28: extra ``query_length`` /
+    ``encoder_width`` / ``cross_attention_freq`` fields ride
+    PretrainedConfig's kwarg passthrough), so unpickling needs only
+    ``transformers``, not the reference tree.
+    """
+    import torch
+
+    qc = config.qformer()
+    from transformers import BertConfig
+
+    bert_cfg = BertConfig(
+        hidden_size=qc.hidden_size,
+        num_hidden_layers=qc.num_hidden_layers,
+        num_attention_heads=qc.num_attention_heads,
+        intermediate_size=qc.intermediate_size,
+        hidden_dropout_prob=qc.hidden_dropout_prob,
+        attention_probs_dropout_prob=qc.attention_probs_dropout_prob,
+        add_cross_attention=qc.add_cross_attention,
+        query_length=qc.query_length,
+        encoder_width=qc.encoder_width,
+        cross_attention_freq=qc.cross_attention_freq,
+        vocab_size=qc.vocab_size,
+        max_position_embeddings=qc.max_position_embeddings,
+    )
+    sd = {
+        # copy: jax arrays surface as non-writable numpy views
+        k: torch.from_numpy(np.array(v))
+        for k, v in export_item_qformer(params, config).items()
+    }
+    torch.save(
+        {"model_state_dict": sd, "config": bert_cfg, "field_names": list(field_names)},
+        path,
+    )
+
+
 def convert_joint_model(
     sd: Mapping[str, Any], qwen_config, qformer_config: ItemQFormerConfig
 ) -> Dict[str, Any]:
