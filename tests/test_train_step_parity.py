@@ -553,3 +553,55 @@ def test_joint_trainer_step_and_trajectory_parity():
     np.testing.assert_allclose(f_traj, t_traj, rtol=1e-3, atol=1e-5)
     # actually training: same batch (0) recurs every 4 steps
     assert f_traj[16] < f_traj[0]
+
+
+def test_joint_export_is_exact_inverse_and_loads_strict():
+    """export_joint_model must invert convert_joint_model bit-for-bit on
+    the reference MultiModalQwenEmbedding's own PEFT-wrapped state_dict
+    (same key set, same values), so TPU-trained joint checkpoints load
+    strict into the reference module
+    (train_item_individual_token_joint.py:65)."""
+    from transformers import Qwen3Config as HFQwen3Config
+
+    from unirec_tpu.utils.torch_convert import export_joint_model
+
+    qc = Qwen3Config(
+        vocab_size=VOCAB, hidden_size=HIDDEN, intermediate_size=FFN,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        num_key_value_heads=2, head_dim=16, flash_attention=False,
+    )
+    qc_hf = HFQwen3Config(
+        vocab_size=VOCAB, hidden_size=HIDDEN, intermediate_size=FFN,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        num_key_value_heads=2, head_dim=16, rms_norm_eps=1e-6,
+        rope_theta=1000000.0, attention_bias=False, tie_word_embeddings=True,
+    )
+    icfg = ItemQFormerConfig(
+        hidden_size=HIDDEN, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, intermediate_size=FFN,
+        num_query_tokens=2, field_embedding_dim=WIDTH, num_fields=F,
+        dropout=0.0,
+    )
+    lora = LoRAConfig(r=4, alpha=8.0, dropout=0.0)
+
+    torch.manual_seed(21)
+    tqformer = QFormerForItemRepresentation(
+        hidden_size=HIDDEN, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, intermediate_size=FFN,
+        num_query_tokens=2, field_embedding_dim=WIDTH, num_fields=F,
+        dropout=0.0,
+    )
+    tmodel = _build_ref_joint(qc_hf, tqformer, lora)
+
+    sd_ref = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_joint_model(sd_ref, qc, icfg)
+    sd_out = export_joint_model(params, qc, icfg)
+
+    assert sorted(sd_out) == sorted(sd_ref)
+    for k in sd_ref:
+        np.testing.assert_array_equal(sd_out[k], sd_ref[k], err_msg=k)
+
+    tmodel.load_state_dict(
+        {k: torch.from_numpy(np.array(v)) for k, v in sd_out.items()},
+        strict=True,
+    )

@@ -434,6 +434,64 @@ def save_reference_item_qformer_checkpoint(
     )
 
 
+def export_joint_model(
+    params: Mapping[str, Any], qwen_config, qformer_config: ItemQFormerConfig
+) -> Dict[str, np.ndarray]:
+    """Flax joint params -> reference ``MultiModalQwenEmbedding`` state_dict.
+
+    Exact inverse of :func:`convert_joint_model` for the PEFT-wrapped layout
+    the reference trains (train_item_individual_token_joint.py:88-132):
+    Q-Former under ``qformer_model.*``; the LoRA-wrapped Qwen3 under
+    ``base_model.base_model.model.*`` with ``<proj>.base_layer.weight`` +
+    ``<proj>.lora_A.default.weight`` / ``lora_B.default.weight`` for
+    adapted projections and plain ``<proj>.weight`` otherwise; the
+    ``embed_tokens`` / ``extra_embed_tokens`` split re-merged into the
+    resized table (:118-119).  The result loads strict into the reference
+    module (``model.load_state_dict`` consumers, e.g. :65).
+    """
+    sd: Dict[str, np.ndarray] = {}
+    for k, v in export_item_qformer(params["qformer"], qformer_config).items():
+        sd["qformer_model." + k] = v
+
+    base = params["base_model"]
+    bp = "base_model.base_model.model."
+    embed = _np(base["embed_tokens"])
+    if "extra_embed_tokens" in base:
+        embed = np.concatenate([embed, _np(base["extra_embed_tokens"])], axis=0)
+    sd[bp + "embed_tokens.weight"] = embed
+    sd[bp + "norm.weight"] = _np(base["norm"]["scale"])
+
+    def put_proj(prefix: str, p: Mapping[str, Any]) -> None:
+        lora = "lora_a" in p
+        stem = f"{prefix}.base_layer" if lora else prefix
+        sd[f"{stem}.weight"] = np.ascontiguousarray(_np(p["kernel"]).T)
+        if "bias" in p:
+            sd[f"{stem}.bias"] = _np(p["bias"])
+        if lora:
+            sd[f"{prefix}.lora_A.default.weight"] = np.ascontiguousarray(
+                _np(p["lora_a"]).T
+            )
+            sd[f"{prefix}.lora_B.default.weight"] = np.ascontiguousarray(
+                _np(p["lora_b"]).T
+            )
+
+    for i in range(qwen_config.num_hidden_layers):
+        layer = params["base_model"][f"layers_{i}"]
+        lp = f"{bp}layers.{i}"
+        attn, mlp = layer["self_attn"], layer["mlp"]
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            put_proj(f"{lp}.self_attn.{proj}", attn[proj])
+        sd[f"{lp}.self_attn.q_norm.weight"] = _np(attn["q_norm"]["scale"])
+        sd[f"{lp}.self_attn.k_norm.weight"] = _np(attn["k_norm"]["scale"])
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            put_proj(f"{lp}.mlp.{proj}", mlp[proj])
+        sd[f"{lp}.input_layernorm.weight"] = _np(layer["input_layernorm"]["scale"])
+        sd[f"{lp}.post_attention_layernorm.weight"] = _np(
+            layer["post_attention_layernorm"]["scale"]
+        )
+    return sd
+
+
 def convert_joint_model(
     sd: Mapping[str, Any], qwen_config, qformer_config: ItemQFormerConfig
 ) -> Dict[str, Any]:
