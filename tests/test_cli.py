@@ -384,3 +384,33 @@ def test_export_pth_cli(pipeline_dir):
         b.query_tokens_from_embeddings(fields, mask),
         atol=1e-5,
     )
+
+
+def test_export_pth_user_cli(tmp_path):
+    """`train export-pth --stage user` converts an orbax user-qformer
+    checkpoint to the reference's best_user_qformer_model.pth schema
+    (training/user_qformer_training.py:218-228)."""
+    torch = pytest.importorskip("torch")
+
+    from unirec_tpu.configs import TrainConfig, UserQFormerConfig
+    from unirec_tpu.train.user_qformer import UserQFormerTrainer
+    from unirec_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = UserQFormerConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=64, num_query_tokens=4, input_embedding_dim=24,
+        num_item_tokens_to_predict=2, dropout=0.0,
+    )
+    t = UserQFormerTrainer(cfg, TrainConfig(batch_size=4))
+    state = t.init_state(seed=0)
+    ckpt = str(tmp_path / "uq")
+    save_checkpoint(ckpt, state, config=cfg, extra={"epoch": 1, "loss": 2.0})
+
+    pth = str(tmp_path / "u.pth")
+    assert train_main(["export-pth", "--stage", "user",
+                       "--checkpoint", ckpt, "--output", pth]) == 0
+    ck = torch.load(pth, map_location="cpu", weights_only=False)
+    assert set(ck) == {"model_state_dict", "config", "epoch", "loss"}
+    assert ck["epoch"] == 1
+    assert ck["config"].cross_attention_freq == 1
+    assert "prediction_head.3.weight" in ck["model_state_dict"]

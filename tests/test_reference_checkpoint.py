@@ -149,9 +149,10 @@ def test_export_roundtrip_into_reference(tmp_path):
         np.testing.assert_array_equal(sd1[k], sd2[k], err_msg=k)
 
 
-def test_user_export_loads_strict_into_reference():
-    """export_user_qformer produces a state_dict the reference UserQFormer
-    (training/user_qformer_training.py:17-45) loads strict, with matching
+def test_user_export_loads_strict_into_reference(tmp_path):
+    """A saved reference-schema ``best_user_qformer_model.pth``
+    (training/user_qformer_training.py:218-228) rebuilds the reference
+    UserQFormer from the pickled config and loads strict, with matching
     forward predictions."""
     import jax
     import jax.numpy as jnp
@@ -159,7 +160,9 @@ def test_user_export_loads_strict_into_reference():
     from training.user_qformer_training import UserQFormer as RefUserQFormer
     from unirec_tpu.configs import UserQFormerConfig
     from unirec_tpu.models.user_qformer import UserQFormer
-    from unirec_tpu.utils.torch_convert import export_user_qformer
+    from unirec_tpu.utils.torch_convert import (
+        save_reference_user_qformer_checkpoint,
+    )
 
     kw = dict(
         hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
@@ -177,11 +180,28 @@ def test_user_export_loads_strict_into_reference():
         deterministic=True,
     )
 
-    tmodel = RefUserQFormer(**kw)
-    sd = {
-        k: torch.from_numpy(np.array(v))
-        for k, v in export_user_qformer(variables["params"], cfg).items()
-    }
+    path = str(tmp_path / "best_user_qformer_model.pth")
+    save_reference_user_qformer_checkpoint(
+        path, variables["params"], cfg, epoch=3, loss=1.25
+    )
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert set(ckpt) == {"model_state_dict", "config", "epoch", "loss"}
+    assert ckpt["epoch"] == 3 and ckpt["loss"] == 1.25
+    config = ckpt["config"]
+    sd = ckpt["model_state_dict"]
+    # num_item_tokens_to_predict is recovered from the head's output width,
+    # like any reference-side consumer would
+    k_pred = sd["prediction_head.3.weight"].shape[0] // config.encoder_width
+    tmodel = RefUserQFormer(
+        hidden_size=config.hidden_size,
+        num_hidden_layers=config.num_hidden_layers,
+        num_attention_heads=config.num_attention_heads,
+        intermediate_size=config.intermediate_size,
+        num_query_tokens=config.query_length,
+        input_embedding_dim=config.encoder_width,
+        num_item_tokens_to_predict=k_pred,
+        dropout=config.hidden_dropout_prob,
+    )
     tmodel.load_state_dict(sd, strict=True)
     tmodel.eval()
 

@@ -142,8 +142,10 @@ def main(argv=None) -> int:
              "qformer_inference.py without modification)",
     )
     sp.add_argument("--checkpoint", required=True,
-                    help="orbax checkpoint dir (or an existing .pth)")
+                    help="orbax checkpoint dir (or, for --stage item, an "
+                         "existing .pth)")
     sp.add_argument("--output", required=True, help="output .pth path")
+    sp.add_argument("--stage", choices=["item", "user"], default="item")
 
     args = p.parse_args(argv)
     return _dispatch(args)
@@ -336,6 +338,26 @@ def _dispatch(args) -> int:
         return 0
 
     if args.cmd == "export-pth":
+        if args.stage == "user":
+            from unirec_tpu.configs import UserQFormerConfig
+            from unirec_tpu.utils.checkpoint import (
+                load_checkpoint,
+                restore_config,
+            )
+            from unirec_tpu.utils.torch_convert import (
+                save_reference_user_qformer_checkpoint,
+            )
+
+            tree, meta = load_checkpoint(args.checkpoint)
+            ucfg = restore_config(meta, UserQFormerConfig)
+            save_reference_user_qformer_checkpoint(
+                args.output, tree["params"]["user"], ucfg,
+                epoch=int(meta.get("epoch", 0)),
+                loss=float(meta.get("loss", 0.0)),
+            )
+            print(f"wrote reference-schema user checkpoint -> {args.output}")
+            return 0
+
         from unirec_tpu.inference.qformer_inference import QFormerInference
         from unirec_tpu.utils.torch_convert import (
             save_reference_item_qformer_checkpoint,

@@ -434,6 +434,51 @@ def save_reference_item_qformer_checkpoint(
     )
 
 
+def save_reference_user_qformer_checkpoint(
+    path: str,
+    params: Mapping[str, Any],
+    config: UserQFormerConfig,
+    epoch: int = 0,
+    loss: float = 0.0,
+) -> None:
+    """Write a reference-schema ``best_user_qformer_model.pth``
+    ({model_state_dict, config, epoch, loss} —
+    training/user_qformer_training.py:218-228), pickling the same stock
+    ``transformers.BertConfig`` the reference UserQFormer builds
+    (:26-31, cross_attention_freq=1)."""
+    import torch
+    from transformers import BertConfig
+
+    qc = config.qformer()
+    bert_cfg = BertConfig(
+        hidden_size=qc.hidden_size,
+        num_hidden_layers=qc.num_hidden_layers,
+        num_attention_heads=qc.num_attention_heads,
+        intermediate_size=qc.intermediate_size,
+        hidden_dropout_prob=qc.hidden_dropout_prob,
+        attention_probs_dropout_prob=qc.attention_probs_dropout_prob,
+        add_cross_attention=qc.add_cross_attention,
+        query_length=qc.query_length,
+        encoder_width=qc.encoder_width,
+        cross_attention_freq=qc.cross_attention_freq,
+        vocab_size=qc.vocab_size,
+        max_position_embeddings=qc.max_position_embeddings,
+    )
+    sd = {
+        k: torch.from_numpy(np.array(v))
+        for k, v in export_user_qformer(params, config).items()
+    }
+    torch.save(
+        {
+            "model_state_dict": sd,
+            "config": bert_cfg,
+            "epoch": int(epoch),
+            "loss": float(loss),
+        },
+        path,
+    )
+
+
 def export_joint_model(
     params: Mapping[str, Any], qwen_config, qformer_config: ItemQFormerConfig
 ) -> Dict[str, np.ndarray]:
