@@ -276,8 +276,9 @@ def test_full_pipeline_raw_jsonl_to_recommendation(pipeline_dir):
                        "--output", str(d / "qwen_emb32.json"),
                        "--embedding-dim", "32"]) == 0
 
-    # joint stage (tiny Qwen3 smoke config, C12)
-    assert train_main([
+    # joint stage (tiny Qwen3 smoke config, C12); eval-every-steps 2 forces
+    # a best-MRR save so the --resume leg below has a checkpoint
+    joint_args = [
         "joint", "--tiny",
         "--train-data", str(d / "rec_train.json"),
         "--val-data", str(d / "rec_test.json"),
@@ -285,10 +286,18 @@ def test_full_pipeline_raw_jsonl_to_recommendation(pipeline_dir):
         "--item-dict", str(d / "triplet_dict.json"),
         "--qformer-checkpoint", str(d / "iq_ckpt"),
         "--cache-dir", str(d / "cache"),
-        "--max-length", "64", "--batch-size", "4", "--num-epochs", "1",
-        "--eval-every-steps", "100",
+        # 3 epochs x 1 step: the step counter must pass eval-every-steps 2
+        # for the tracker to fire a best-MRR save (should_eval is >=)
+        "--max-length", "64", "--batch-size", "4", "--num-epochs", "3",
+        "--eval-every-steps", "2",
         "--checkpoint-dir", str(d / "joint_ckpt"),
-    ]) == 0
+    ]
+    assert train_main(joint_args) == 0
+    # default --save-strategy both nests latest_model/best_model
+    assert os.path.exists(str(d / "joint_ckpt" / "latest_model" / "state"))
+    assert os.path.exists(str(d / "joint_ckpt" / "best_model" / "state"))
+    # resume restores params + opt state + step and keeps training
+    assert train_main(joint_args + ["--resume"]) == 0
 
     # serving: assemble the recommender exactly as `python -m unirec_tpu
     # serve` would, and produce a recommendation from a raw history
@@ -414,3 +423,32 @@ def test_export_pth_user_cli(tmp_path):
     assert ck["epoch"] == 1
     assert ck["config"].cross_attention_freq == 1
     assert "prediction_head.3.weight" in ck["model_state_dict"]
+
+
+def test_item_qformer_resume_cli(pipeline_dir, capsys):
+    """`--resume` restores params + optimizer state + step from
+    --checkpoint-dir and continues training (the step counter advances
+    past the restored value)."""
+    d = pipeline_dir
+    ckpt = str(d / "iq_ckpt")
+    if not os.path.exists(os.path.join(ckpt, "meta.json")):
+        test_train_and_tokens_cli(pipeline_dir)
+
+    assert train_main([
+        "item-qformer",
+        "--data", str(d / "triplet_dict.json"),
+        "--sequences", str(d / "rec_train.json"),
+        "--cache-dir", str(d / "cache"),
+        "--num-query-tokens", "4",
+        "--hidden-size", "32", "--num-layers", "2", "--num-heads", "2",
+        "--intermediate-size", "64",
+        "--batch-size", "16", "--num-epochs", "1", "--eval-every", "1",
+        "--checkpoint-dir", ckpt, "--resume",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "resumed from" in out
+    # the restored step is > 0 (two prior epochs trained on this fixture)
+    import re
+
+    m = re.search(r"resumed from .* at step (\d+)", out)
+    assert m and int(m.group(1)) > 0

@@ -25,6 +25,9 @@ def _common_train_flags(sp, batch_size: int, epochs: int, lr: float):
     sp.add_argument("--learning-rate", type=float, default=lr)
     sp.add_argument("--seed", type=int, default=42)
     sp.add_argument("--checkpoint-dir", default=None)
+    sp.add_argument("--resume", action="store_true",
+                    help="restore params + optimizer state + step from "
+                         "--checkpoint-dir before training")
     sp.add_argument("--dp", type=int, default=-1, help="data-parallel size")
     sp.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
 
@@ -270,6 +273,7 @@ def _dispatch(args) -> int:
             dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
             fused_precision="int8" if getattr(args, "int8_ref", False)
             else "bf16",
+            resume=getattr(args, "resume", False),
         )
         print(json.dumps(metrics, indent=2))
         return 0
@@ -313,6 +317,7 @@ def _dispatch(args) -> int:
             train_config=tc, max_seq_len=args.max_seq_len,
             checkpoint_dir=args.checkpoint_dir,
             dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
+            resume=getattr(args, "resume", False),
         )
         print(json.dumps(metrics, indent=2))
         return 0
@@ -474,6 +479,31 @@ def _run_joint(args) -> int:
     qf_params = inf.params.get("params", inf.params)
     state = trainer.init_state(qformer_params=qf_params, qwen_params=qwen_params)
 
+    best_mrr = float("-inf")
+    if getattr(args, "resume", False) and args.checkpoint_dir:
+        import os as _os
+
+        from unirec_tpu.utils.checkpoint import restore_train_state
+
+        # strategy "both" nests latest_model/best_model under the dir;
+        # prefer latest (true continuation), then best, then the flat layout
+        candidates = [
+            _os.path.join(args.checkpoint_dir, "latest_model"),
+            _os.path.join(args.checkpoint_dir, "best_model"),
+            args.checkpoint_dir,
+        ]
+        for cand in candidates:
+            if _os.path.exists(_os.path.join(cand, "state")):
+                state, meta = restore_train_state(cand, state)
+                best_mrr = float(meta.get("mrr", float("-inf")))
+                print(f"resumed from {cand} at step {int(state.step)} "
+                      f"(best MRR {best_mrr:.4f})")
+                break
+        else:
+            print(f"error: --resume but no checkpoint under "
+                  f"{args.checkpoint_dir}", file=sys.stderr)
+            return 2
+
     # initial + per-N-steps MRR eval with save strategies, mirroring the
     # reference's BestMRRCallback (train_item_individual_token_joint.py:788).
     from unirec_tpu.train.callbacks import BestMetricTracker
@@ -488,6 +518,8 @@ def _run_joint(args) -> int:
             path, st, config=jc, extra={"mrr": tracker.best}
         ),
     )
+    if best_mrr > tracker.best:
+        tracker.best = best_mrr  # resumed watermark: don't demote "best"
     print("initial eval:", json.dumps(trainer.evaluate(state, val_ds)))
 
     def hook(step, st, metrics):

@@ -52,6 +52,11 @@ class BestMetricTracker:
         """Record an eval result; saves per strategy.  Returns status."""
         self.last_eval_step = step
         improved = self._improved(value)
+        if improved:
+            # before the saves: save_fn closures typically record
+            # ``tracker.best`` in checkpoint metadata, which must be the
+            # value being saved, not the previous watermark
+            self.best = value
         saved = []
         if self.strategy == "best_only":
             if improved:
@@ -66,8 +71,6 @@ class BestMetricTracker:
             if improved:
                 self._save("best_model", state)
                 saved.append("best")
-        if improved:
-            self.best = value
         return {
             "step": step,
             self.metric: value,

@@ -22,6 +22,7 @@ negatives are sampled on the fly per epoch like the reference's __getitem__.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -393,10 +394,13 @@ def train_item_qformer(
     contrastive_weight: float = 0.25,
     dtype: str = "float32",
     fused_precision: str = "bf16",
+    resume: bool = False,
     log_fn=print,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Full training driver (reference: train_qformer,
-    item_qformer_training.py:70-187)."""
+    item_qformer_training.py:70-187).  ``resume=True`` restores params +
+    optimizer state + step from ``checkpoint_dir`` (the epoch counter
+    restarts; the optimizer step and best-val watermark continue)."""
     model_config = model_config or ItemQFormerConfig(
         num_fields=cache.num_fields, field_embedding_dim=cache.embedding_dim
     )
@@ -410,6 +414,15 @@ def train_item_qformer(
     rng = np.random.default_rng(train_config.seed)
 
     best_val = float("inf")
+    if resume and checkpoint_dir and os.path.exists(
+        os.path.join(checkpoint_dir, "state")
+    ):
+        from unirec_tpu.utils.checkpoint import restore_train_state
+
+        state, meta = restore_train_state(checkpoint_dir, state)
+        best_val = float(meta.get("val_recon_loss", float("inf")))
+        log_fn(f"resumed from {checkpoint_dir} at step {int(state.step)} "
+               f"(best val {best_val:.4f})")
     last_metrics: Dict[str, float] = {}
     for epoch in range(train_config.num_epochs):
         state, train_metrics = trainer.train_epoch(state, cache, pairs, rng)
@@ -426,7 +439,8 @@ def train_item_qformer(
                     checkpoint_dir,
                     state,
                     config=model_config,
-                    extra={"field_names": list(cache.fields)},
+                    extra={"field_names": list(cache.fields),
+                           "val_recon_loss": best_val},
                 )
         else:
             last_metrics = train_metrics

@@ -17,6 +17,7 @@ TPU-native rebuild of reference training/user_qformer_training.py:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -353,10 +354,12 @@ def train_user_qformer(
     max_seq_len: int = 50,
     checkpoint_dir: Optional[str] = None,
     dtype: str = "float32",
+    resume: bool = False,
     log_fn=print,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Full driver (reference: train_user_qformer,
-    user_qformer_training.py:166-229)."""
+    user_qformer_training.py:166-229).  ``resume=True`` restores params +
+    optimizer state + step + best-loss watermark from ``checkpoint_dir``."""
     user_config = user_config or UserQFormerConfig(
         num_item_tokens_to_predict=item_qformer.config.num_query_tokens,
         # item tokens live in the item Q-Former's hidden space — derive the
@@ -383,6 +386,15 @@ def train_user_qformer(
 
     state = trainer.init_state()
     best_loss = float("inf")
+    if resume and checkpoint_dir and os.path.exists(
+        os.path.join(checkpoint_dir, "state")
+    ):
+        from unirec_tpu.utils.checkpoint import restore_train_state
+
+        state, meta = restore_train_state(checkpoint_dir, state)
+        best_loss = float(meta.get("loss", float("inf")))
+        log_fn(f"resumed from {checkpoint_dir} at step {int(state.step)} "
+               f"(best loss {best_loss:.4f})")
     metrics: Dict[str, float] = {}
     for epoch in range(train_config.num_epochs):
         state, metrics = trainer.train_epoch(
