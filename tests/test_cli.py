@@ -452,3 +452,44 @@ def test_item_qformer_resume_cli(pipeline_dir, capsys):
 
     m = re.search(r"resumed from .* at step (\d+)", out)
     assert m and int(m.group(1)) > 0
+
+    # structured metrics stream to JSONL under --checkpoint-dir
+    # (utils/metrics_logger.py — the reference's dead USE_WANDB made real)
+    mlog = os.path.join(ckpt, "metrics.jsonl")
+    assert os.path.exists(mlog)
+    with open(mlog) as f:
+        records = [json.loads(line) for line in f]
+    assert records and all("ts" in r and "step" in r for r in records)
+
+
+def test_joint_pp_cli(pipeline_dir):
+    """`train joint --pp 2` stages the tiny backbone over a dp x pp mesh
+    end-to-end through the CLI (parallel/pipeline.py), producing finite
+    eval metrics and a best-MRR checkpoint in the regular (merged) param
+    layout."""
+    d = pipeline_dir
+    if not os.path.exists(d / "qwen_emb32.json"):
+        test_full_pipeline_raw_jsonl_to_recommendation(pipeline_dir)
+
+    ckpt = str(d / "joint_pp_ckpt")
+    assert train_main([
+        "joint", "--tiny", "--pp", "2",
+        "--train-data", str(d / "rec_train.json"),
+        "--val-data", str(d / "rec_test.json"),
+        "--item-emb", str(d / "qwen_emb32.json"),
+        "--item-dict", str(d / "triplet_dict.json"),
+        "--qformer-checkpoint", str(d / "iq_ckpt"),
+        "--cache-dir", str(d / "cache"),
+        "--max-length", "64", "--batch-size", "4", "--num-epochs", "3",
+        "--eval-every-steps", "2", "--save-strategy", "best_only",
+        "--checkpoint-dir", ckpt,
+    ]) == 0
+    assert os.path.exists(os.path.join(ckpt, "state"))
+    # the saved tree is the REGULAR joint layout (merged back from pp):
+    # it reloads through the ordinary checkpoint loader
+    from unirec_tpu.utils.checkpoint import load_checkpoint
+
+    tree, meta = load_checkpoint(ckpt)
+    assert "base_model" in tree["params"] and "qformer" in tree["params"]
+    assert any(k.startswith("layers_") for k in tree["params"]["base_model"])
+    assert np.isfinite(float(meta["mrr"]))

@@ -16,7 +16,26 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+
+def _metrics_logger(args):
+    """JSONL metrics under --checkpoint-dir (+ optional wandb).  Returns
+    None when neither destination applies (pure-stdout runs)."""
+    wandb = getattr(args, "wandb", False)
+    ckpt = getattr(args, "checkpoint_dir", None)
+    if not (wandb or ckpt):
+        return None
+    from unirec_tpu.utils.metrics_logger import MetricsLogger
+
+    return MetricsLogger(
+        os.path.join(ckpt, "metrics.jsonl") if ckpt else None,
+        use_wandb=wandb,
+        wandb_config={k: v for k, v in vars(args).items()
+                      if isinstance(v, (int, float, str, bool))},
+        stdout=False,
+    )
 
 
 def _common_train_flags(sp, batch_size: int, epochs: int, lr: float):
@@ -28,6 +47,9 @@ def _common_train_flags(sp, batch_size: int, epochs: int, lr: float):
     sp.add_argument("--resume", action="store_true",
                     help="restore params + optimizer state + step from "
                          "--checkpoint-dir before training")
+    sp.add_argument("--wandb", action="store_true",
+                    help="also stream metrics to wandb (JSONL under "
+                         "--checkpoint-dir is always written)")
     sp.add_argument("--dp", type=int, default=-1, help="data-parallel size")
     sp.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
 
@@ -123,6 +145,14 @@ def main(argv=None) -> int:
                     help="disable rematerialization: the fastest measured "
                     "config at batch <= 8/chip (204.9 ms/step, BASELINE.md); "
                     "OOMs at batch >= 16")
+    sp.add_argument("--pp", type=int, default=1,
+                    help="pipeline-parallel stages (GPipe, "
+                         "parallel/pipeline.py) for backbones deeper than "
+                         "one chip's HBM; composes with --dp, refuses --tp>1"
+                         " and --flash-vjp; --resume restores params only")
+    sp.add_argument("--pp-microbatches", type=int, default=1,
+                    help="microbatches per dp-local batch (shrinks the "
+                         "pipeline bubble; batch/(dp*M) must stay integral)")
     sp.add_argument("--flash-vjp", action="store_true",
                     help="trainable flash causal self-attention for the "
                     "Qwen3 backbone (ops/flash_causal_vjp.py): attention "
@@ -274,6 +304,7 @@ def _dispatch(args) -> int:
             fused_precision="int8" if getattr(args, "int8_ref", False)
             else "bf16",
             resume=getattr(args, "resume", False),
+            metrics_logger=_metrics_logger(args),
         )
         print(json.dumps(metrics, indent=2))
         return 0
@@ -318,6 +349,7 @@ def _dispatch(args) -> int:
             checkpoint_dir=args.checkpoint_dir,
             dtype="bfloat16" if getattr(args, "bf16", False) else "float32",
             resume=getattr(args, "resume", False),
+            metrics_logger=_metrics_logger(args),
         )
         print(json.dumps(metrics, indent=2))
         return 0
@@ -504,6 +536,15 @@ def _run_joint(args) -> int:
                   f"{args.checkpoint_dir}", file=sys.stderr)
             return 2
 
+    if getattr(args, "pp", 1) > 1:
+        if getattr(args, "flash_vjp", False):
+            print("error: --pp is incompatible with --flash-vjp (the pp "
+                  "schedule drives layers with additive biases)",
+                  file=sys.stderr)
+            return 2
+        return _run_joint_pp(args, trainer, state, train_ds, val_ds, jc,
+                             best_mrr)
+
     # initial + per-N-steps MRR eval with save strategies, mirroring the
     # reference's BestMRRCallback (train_item_individual_token_joint.py:788).
     from unirec_tpu.train.callbacks import BestMetricTracker
@@ -520,6 +561,7 @@ def _run_joint(args) -> int:
     )
     if best_mrr > tracker.best:
         tracker.best = best_mrr  # resumed watermark: don't demote "best"
+    ml = _metrics_logger(args)
     print("initial eval:", json.dumps(trainer.evaluate(state, val_ds)))
 
     def hook(step, st, metrics):
@@ -528,6 +570,8 @@ def _run_joint(args) -> int:
             status = tracker.update(step, ev["mrr"], st)
             print(f"step {step}: loss={metrics['loss']:.4f} "
                   f"eval={json.dumps(ev)} {status}")
+            if ml:
+                ml.log({"loss": metrics["loss"], **ev}, step=step)
         return st
 
     rng = np.random.default_rng(args.seed)
@@ -538,6 +582,75 @@ def _run_joint(args) -> int:
     )
     final = trainer.evaluate(state, val_ds)
     print(f"final eval: {json.dumps(final)}; best MRR: {tracker.best:.4f}")
+    if ml:
+        ml.log(final, step=int(state.step))
+        ml.close()
+    return 0
+
+
+def _run_joint_pp(args, trainer, state, train_ds, val_ds, jc, best_mrr) -> int:
+    """GPipe-staged joint training (`train joint --pp N`): same datasets,
+    tracker semantics, and checkpoint schema as the dp path; the backbone
+    streams through pp stages (train/joint.PipelinedJointTrainer).  A
+    --resume restore carries params + step into the pp layout (the dp
+    optimizer state is layout-incompatible and restarts)."""
+    import types
+
+    import numpy as np
+
+    from unirec_tpu.train.callbacks import BestMetricTracker
+    from unirec_tpu.train.joint import PipelinedJointTrainer
+    from unirec_tpu.utils.checkpoint import save_checkpoint
+
+    ptrainer = PipelinedJointTrainer(
+        trainer, pp=args.pp, num_microbatches=args.pp_microbatches
+    )
+    if int(state.step) > 0:
+        print("note: --resume under --pp restores params and the step "
+              "counter; the optimizer state restarts (layout change)")
+    trainable, opt_state, tx = ptrainer.init_trainable(state)
+    start_step = int(state.step)
+    del state
+
+    def save_fn(path, tr):
+        shim = types.SimpleNamespace(
+            params=ptrainer.merged_params(tr),
+            opt_state={"pp_layout": True},
+            step=tracker.last_eval_step + start_step,
+        )
+        save_checkpoint(path, shim, config=jc, extra={"mrr": tracker.best})
+
+    tracker = BestMetricTracker(
+        args.checkpoint_dir, metric="mrr", strategy=args.save_strategy,
+        eval_steps=args.eval_every_steps, save_fn=save_fn,
+    )
+    if best_mrr > tracker.best:
+        tracker.best = best_mrr
+
+    ml = _metrics_logger(args)
+    print("initial eval:", json.dumps(ptrainer.evaluate(trainable, val_ds)))
+
+    def hook(step, tr, metrics):
+        if tracker.should_eval(step):
+            ev = ptrainer.evaluate(tr, val_ds)
+            status = tracker.update(step, ev["mrr"], tr)
+            print(f"step {step}: loss={metrics['loss']:.4f} "
+                  f"eval={json.dumps(ev)} {status}")
+            if ml:
+                ml.log({"loss": metrics["loss"], **ev}, step=step)
+
+    rng = np.random.default_rng(args.seed)
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    trainable, opt_state, _ = ptrainer.train_steps(
+        trainable, opt_state, tx, train_ds, rng,
+        num_steps=args.num_epochs * steps_per_epoch,
+        start_step=start_step, step_hook=hook,
+    )
+    final = ptrainer.evaluate(trainable, val_ds)
+    print(f"final eval: {json.dumps(final)}; best MRR: {tracker.best:.4f}")
+    if ml:
+        ml.log(final)
+        ml.close()
     return 0
 
 

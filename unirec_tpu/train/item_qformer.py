@@ -395,6 +395,7 @@ def train_item_qformer(
     dtype: str = "float32",
     fused_precision: str = "bf16",
     resume: bool = False,
+    metrics_logger=None,
     log_fn=print,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Full training driver (reference: train_qformer,
@@ -427,9 +428,13 @@ def train_item_qformer(
     for epoch in range(train_config.num_epochs):
         state, train_metrics = trainer.train_epoch(state, cache, pairs, rng)
         log_fn(f"epoch {epoch + 1}: {train_metrics}")
+        if metrics_logger:
+            metrics_logger.log(dict(train_metrics), step=int(state.step))
         if (epoch + 1) % train_config.eval_every_epochs == 0:
             val = trainer.evaluate(state, cache, val_rows)
             log_fn(f"epoch {epoch + 1} val: {val}")
+            if metrics_logger:
+                metrics_logger.log(dict(val), step=int(state.step))
             last_metrics = {**train_metrics, **val}
             if val["val_recon_loss"] < best_val and checkpoint_dir:
                 best_val = val["val_recon_loss"]

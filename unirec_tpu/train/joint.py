@@ -599,3 +599,149 @@ class JointTrainer:
                 np.where(hit, 1.0 / np.log2(all_ranks + 1.0), 0.0).mean()
             )
         return out
+
+
+@dataclasses.dataclass
+class PipelinedJointTrainer:
+    """GPipe-staged variant of the joint trainer (`parallel/pipeline.py`).
+
+    For Qwen3 backbones deeper than one chip's HBM: the decoder stack's
+    layer params shard over a ``pp`` mesh axis and microbatches stream
+    through the stages (``lax.scan`` + ``ppermute``); the Q-Former +
+    token injection stay plain GSPMD.  Semantics match ``JointTrainer``
+    (same model modules, same InfoNCE + LoRA freeze + warmup/clip
+    optimizer — tests/test_pipeline.py proves forward/grad parity); only
+    the execution schedule differs.  ``trainer`` supplies model/config
+    plumbing and the dp-sharded evaluator; tp>1 and flash-VJP attention
+    are refused (the pp schedule is additive-bias-driven).
+    """
+
+    trainer: JointTrainer
+    pp: int
+    num_microbatches: int = 1
+
+    def __post_init__(self):
+        from unirec_tpu.parallel.pipeline import PipelinedQwen3, make_pp_mesh
+
+        t = self.trainer
+        if t.tp_size > 1:
+            raise ValueError("pipeline parallelism composes with dp only; "
+                             "tp>1 is not supported (use --tp 1)")
+        mesh_cfg = t.train_config.mesh
+        dp = None if mesh_cfg.dp in (-1, 0) else mesh_cfg.dp
+        self.mesh = make_pp_mesh(self.pp, dp=dp)
+        self.dp_size = self.mesh.shape["dp"]
+        self.pipe = PipelinedQwen3(
+            t.qwen_config,
+            self.mesh,
+            num_microbatches=self.num_microbatches,
+            lora=t.lora,
+            dtype=jnp.bfloat16 if t.dtype == "bfloat16" else jnp.float32,
+            remat=t.remat,
+        )
+        self._step = None
+
+    # -- state ---------------------------------------------------------------
+
+    def init_trainable(self, state: TrainState):
+        """Split a JointTrainer state's params into the pp layout and lay
+        them out on the mesh (stacked layers over pp, rest/qformer
+        replicated).  Returns (trainable dict, opt_state, tx)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from unirec_tpu.parallel.pipeline import pp_shardings, split_joint_params
+
+        stacked, rest, qf = split_joint_params(state.params)
+        st_sh, rest_sh = pp_shardings(stacked, rest, self.mesh)
+        stacked = jax.tree_util.tree_map(jax.device_put, stacked, st_sh)
+        rest = jax.tree_util.tree_map(jax.device_put, rest, rest_sh)
+        rep = NamedSharding(self.mesh, P())
+        qf = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), qf)
+        trainable = {"stacked": stacked, "rest": rest, "qformer": qf}
+        # the same path-filtered freeze as JointTrainer: lora_a/lora_b/
+        # extra_embed_tokens/qformer names survive layer stacking
+        tx = make_joint_optimizer(trainable, self.trainer.train_config.optimizer)
+        return trainable, tx.init(trainable), tx
+
+    def merged_params(self, trainable) -> Dict:
+        """pp layout -> the regular joint param tree (checkpoint/eval)."""
+        from unirec_tpu.parallel.pipeline import merge_joint_params
+
+        merged = merge_joint_params(
+            jax.tree_util.tree_map(np.asarray, trainable["stacked"]),
+            jax.tree_util.tree_map(np.asarray, trainable["rest"]),
+            jax.tree_util.tree_map(np.asarray, trainable["qformer"]),
+        )
+        return merged["params"]
+
+    # -- training ------------------------------------------------------------
+
+    def _make_step(self, tx):
+        from unirec_tpu.parallel.pipeline import joint_pp_forward
+
+        model, pipe = self.trainer.model, self.pipe
+        temperature = 0.07  # reference InfoNCE τ (:326-352)
+        seed = self.trainer.train_config.seed
+
+        def step(trainable, opt_state, n_step, batch):
+            key = jax.random.fold_in(jax.random.key(seed, impl="rbg"), n_step)
+
+            def loss_fn(tr):
+                user = joint_pp_forward(
+                    model, pipe, tr["stacked"], tr["rest"], tr["qformer"],
+                    batch["input_ids"], batch["attention_mask"],
+                    batch["history_field_embeddings"],
+                    batch["history_attention_mask"],
+                    deterministic=False, dropout_rng=key,
+                )
+                return info_nce_loss(
+                    user,
+                    batch["positive_item_embeddings"],
+                    batch["negative_item_embeddings"],
+                    batch["negative_masks"],
+                    temperature=temperature,
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(trainable)
+            updates, opt_state = tx.update(grads, opt_state, trainable)
+            return optax.apply_updates(trainable, updates), opt_state, loss
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def train_steps(
+        self,
+        trainable,
+        opt_state,
+        tx,
+        dataset: JointDataset,
+        rng: np.random.Generator,
+        num_steps: int,
+        start_step: int = 0,
+        step_hook=None,
+    ):
+        """Step-driven pp training mirroring JointTrainer.train_steps; the
+        hook sees (global_step, merged-param getter, metrics)."""
+        from unirec_tpu.parallel.mesh import shard_batch
+
+        if self._step is None:
+            self._step = self._make_step(tx)
+        batch_size = self.trainer.train_config.batch_size
+        last = {}
+        stream = self.trainer._batch_stream(dataset, rng, batch_size, num_steps)
+        for i, batch in enumerate(stream):
+            batch = shard_batch(self.mesh, batch)
+            trainable, opt_state, loss = self._step(
+                trainable, opt_state, start_step + i, batch
+            )
+            last = {"loss": float(loss)}
+            if step_hook is not None:
+                step_hook(start_step + i + 1, trainable, last)
+        return trainable, opt_state, last
+
+    def evaluate(self, trainable, dataset: JointDataset, **kw) -> Dict[str, float]:
+        """Merge back to the regular tree and run JointTrainer's dp-sharded
+        evaluator (identical metrics/padding semantics)."""
+        import types
+
+        shim = types.SimpleNamespace(params=self.merged_params(trainable))
+        return self.trainer.evaluate(shim, dataset, **kw)

@@ -355,6 +355,7 @@ def train_user_qformer(
     checkpoint_dir: Optional[str] = None,
     dtype: str = "float32",
     resume: bool = False,
+    metrics_logger=None,
     log_fn=print,
 ) -> Tuple[TrainState, Dict[str, float]]:
     """Full driver (reference: train_user_qformer,
@@ -401,6 +402,8 @@ def train_user_qformer(
             state, train_samples, item_tokens, cache, ts_map, rng
         )
         log_fn(f"epoch {epoch + 1}: {metrics}")
+        if metrics_logger:
+            metrics_logger.log(dict(metrics), step=int(state.step))
         if metrics["loss"] < best_loss:
             best_loss = metrics["loss"]
             if checkpoint_dir:
@@ -417,5 +420,7 @@ def train_user_qformer(
             trainer, state, val_samples, item_tokens, cache, ts_map
         )
         log_fn(f"validation: {val}")
+        if metrics_logger:
+            metrics_logger.log(dict(val), step=int(state.step))
         metrics = {**metrics, **val}
     return state, metrics
