@@ -493,3 +493,19 @@ def test_joint_pp_cli(pipeline_dir):
     assert "base_model" in tree["params"] and "qformer" in tree["params"]
     assert any(k.startswith("layers_") for k in tree["params"]["base_model"])
     assert np.isfinite(float(meta["mrr"]))
+    assert int(tree["step"]) > 0  # global step, not start_step-doubled
+
+    # pp checkpoints carry a sentinel opt_state the dp TrainState template
+    # cannot fill — --resume must fall back to params + step and continue
+    assert train_main([
+        "joint", "--tiny", "--pp", "2", "--resume",
+        "--train-data", str(d / "rec_train.json"),
+        "--val-data", str(d / "rec_test.json"),
+        "--item-emb", str(d / "qwen_emb32.json"),
+        "--item-dict", str(d / "triplet_dict.json"),
+        "--qformer-checkpoint", str(d / "iq_ckpt"),
+        "--cache-dir", str(d / "cache"),
+        "--max-length", "64", "--batch-size", "4", "--num-epochs", "1",
+        "--eval-every-steps", "100", "--save-strategy", "best_only",
+        "--checkpoint-dir", ckpt,
+    ]) == 0

@@ -526,7 +526,21 @@ def _run_joint(args) -> int:
         ]
         for cand in candidates:
             if _os.path.exists(_os.path.join(cand, "state")):
-                state, meta = restore_train_state(cand, state)
+                try:
+                    state, meta = restore_train_state(cand, state)
+                except Exception:
+                    # pp-saved checkpoints carry a sentinel opt_state
+                    # ({"pp_layout": True}) that cannot fill the dp
+                    # TrainState's optax template — restore params + step
+                    # only (the optimizer restarts)
+                    from unirec_tpu.utils.checkpoint import load_checkpoint
+
+                    tree, meta = load_checkpoint(cand)
+                    state = state.replace(
+                        params=tree["params"], step=int(tree["step"])
+                    )
+                    print("restored params + step only (optimizer state "
+                          "layout mismatch — it restarts)")
                 best_mrr = float(meta.get("mrr", float("-inf")))
                 print(f"resumed from {cand} at step {int(state.step)} "
                       f"(best MRR {best_mrr:.4f})")
@@ -614,9 +628,10 @@ def _run_joint_pp(args, trainer, state, train_ds, val_ds, jc, best_mrr) -> int:
 
     def save_fn(path, tr):
         shim = types.SimpleNamespace(
-            params=ptrainer.merged_params(tr),
+            params=ptrainer.merged_params(tr, to_host=True),
             opt_state={"pp_layout": True},
-            step=tracker.last_eval_step + start_step,
+            # the hook already passes GLOBAL steps to tracker.update
+            step=tracker.last_eval_step,
         )
         save_checkpoint(path, shim, config=jc, extra={"mrr": tracker.best})
 

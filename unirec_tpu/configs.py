@@ -12,8 +12,24 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import warnings
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
+
+
+def _warn_prob_dropout_zeroed(cls_name: str, flags: str, rate: float) -> None:
+    """Kernel training flags run deterministic attention probs; make the
+    semantic change loud instead of silent (hidden-state dropout keeps the
+    configured rate)."""
+    warnings.warn(
+        f"{cls_name}: {flags} zeroes attention-prob dropout (configured "
+        f"{rate}) — the trainable kernels compute deterministic attention "
+        "probs; hidden-state dropout stays at the configured rate. Set "
+        "dropout=0.0 to silence, or drop the kernel flag for exact "
+        "prob-dropout semantics on the XLA path.",
+        UserWarning,
+        stacklevel=3,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -173,6 +189,10 @@ class ItemQFormerConfig:
     fused_training: bool = False
 
     def qformer(self) -> QFormerConfig:
+        if self.fused_training and self.dropout > 0.0:
+            _warn_prob_dropout_zeroed(
+                "ItemQFormerConfig", "fused_training", self.dropout
+            )
         return QFormerConfig(
             hidden_size=self.hidden_size,
             num_hidden_layers=self.num_hidden_layers,
@@ -231,6 +251,11 @@ class UserQFormerConfig:
         # when either kernel flag is set so the flags are never silently
         # inert; hidden-state dropout keeps the configured rate
         kernel_train = self.fused_training or self.flash_training
+        if kernel_train and self.dropout > 0.0:
+            _warn_prob_dropout_zeroed(
+                "UserQFormerConfig", "flash_training/fused_training",
+                self.dropout,
+            )
         return QFormerConfig(
             hidden_size=self.hidden_size,
             num_hidden_layers=self.num_hidden_layers,

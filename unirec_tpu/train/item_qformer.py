@@ -415,9 +415,16 @@ def train_item_qformer(
     rng = np.random.default_rng(train_config.seed)
 
     best_val = float("inf")
-    if resume and checkpoint_dir and os.path.exists(
-        os.path.join(checkpoint_dir, "state")
-    ):
+    if resume:
+        if not (checkpoint_dir and os.path.exists(
+            os.path.join(checkpoint_dir, "state")
+        )):
+            # never train-from-scratch silently over an intended
+            # continuation — the run would overwrite the checkpoint dir
+            raise FileNotFoundError(
+                f"resume requested but no checkpoint under "
+                f"{checkpoint_dir!r}"
+            )
         from unirec_tpu.utils.checkpoint import restore_train_state
 
         state, meta = restore_train_state(checkpoint_dir, state)

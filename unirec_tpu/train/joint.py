@@ -663,16 +663,21 @@ class PipelinedJointTrainer:
         tx = make_joint_optimizer(trainable, self.trainer.train_config.optimizer)
         return trainable, tx.init(trainable), tx
 
-    def merged_params(self, trainable) -> Dict:
-        """pp layout -> the regular joint param tree (checkpoint/eval)."""
+    def merged_params(self, trainable, to_host: bool = False) -> Dict:
+        """pp layout -> the regular joint param tree (checkpoint/eval).
+
+        Stays on device by default (evals re-feed the tree straight into
+        the jitted forward; a host round-trip would cost minutes at the
+        GB-scale production tree).  ``to_host=True`` pulls to numpy for
+        checkpoint writes."""
         from unirec_tpu.parallel.pipeline import merge_joint_params
 
         merged = merge_joint_params(
-            jax.tree_util.tree_map(np.asarray, trainable["stacked"]),
-            jax.tree_util.tree_map(np.asarray, trainable["rest"]),
-            jax.tree_util.tree_map(np.asarray, trainable["qformer"]),
-        )
-        return merged["params"]
+            trainable["stacked"], trainable["rest"], trainable["qformer"]
+        )["params"]
+        if to_host:
+            merged = jax.tree_util.tree_map(np.asarray, merged)
+        return merged
 
     # -- training ------------------------------------------------------------
 
@@ -687,6 +692,14 @@ class PipelinedJointTrainer:
             key = jax.random.fold_in(jax.random.key(seed, impl="rbg"), n_step)
 
             def loss_fn(tr):
+                # same frozen-base grad pruning as make_joint_train_step:
+                # stop_gradient lets XLA drop the 0.6B dW matmuls instead
+                # of computing grads the optimizer would zero
+                mask = lora_trainable_mask(tr)
+                tr = jax.tree_util.tree_map(
+                    lambda p, t: p if t else jax.lax.stop_gradient(p),
+                    tr, mask,
+                )
                 user = joint_pp_forward(
                     model, pipe, tr["stacked"], tr["rest"], tr["qformer"],
                     batch["input_ids"], batch["attention_mask"],
@@ -726,16 +739,20 @@ class PipelinedJointTrainer:
         if self._step is None:
             self._step = self._make_step(tx)
         batch_size = self.trainer.train_config.batch_size
-        last = {}
+        loss = None
         stream = self.trainer._batch_stream(dataset, rng, batch_size, num_steps)
         for i, batch in enumerate(stream):
             batch = shard_batch(self.mesh, batch)
             trainable, opt_state, loss = self._step(
                 trainable, opt_state, start_step + i, batch
             )
-            last = {"loss": float(loss)}
             if step_hook is not None:
-                step_hook(start_step + i + 1, trainable, last)
+                # the hook gets the DEVICE scalar — formatting/float() it
+                # syncs, so hooks that only act every N steps (eval
+                # cadence) stay sync-free in between (CLAUDE.md: no
+                # per-step float() in train loops)
+                step_hook(start_step + i + 1, trainable, {"loss": loss})
+        last = {} if loss is None else {"loss": float(loss)}
         return trainable, opt_state, last
 
     def evaluate(self, trainable, dataset: JointDataset, **kw) -> Dict[str, float]:

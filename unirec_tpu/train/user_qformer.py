@@ -387,9 +387,16 @@ def train_user_qformer(
 
     state = trainer.init_state()
     best_loss = float("inf")
-    if resume and checkpoint_dir and os.path.exists(
-        os.path.join(checkpoint_dir, "state")
-    ):
+    if resume:
+        if not (checkpoint_dir and os.path.exists(
+            os.path.join(checkpoint_dir, "state")
+        )):
+            # never train-from-scratch silently over an intended
+            # continuation — the run would overwrite the checkpoint dir
+            raise FileNotFoundError(
+                f"resume requested but no checkpoint under "
+                f"{checkpoint_dir!r}"
+            )
         from unirec_tpu.utils.checkpoint import restore_train_state
 
         state, meta = restore_train_state(checkpoint_dir, state)

@@ -414,8 +414,12 @@ def save_reference_item_qformer_checkpoint(
         num_hidden_layers=qc.num_hidden_layers,
         num_attention_heads=qc.num_attention_heads,
         intermediate_size=qc.intermediate_size,
-        hidden_dropout_prob=qc.hidden_dropout_prob,
-        attention_probs_dropout_prob=qc.attention_probs_dropout_prob,
+        hidden_dropout_prob=config.dropout,
+        # the CONFIGURED rate, not the derived qc value: kernel training
+        # flags zero the derived prob-dropout for the TPU kernels, but the
+        # exported architecture description must keep the user's rate so
+        # reference-side fine-tuning regularizes as configured
+        attention_probs_dropout_prob=config.dropout,
         add_cross_attention=qc.add_cross_attention,
         query_length=qc.query_length,
         encoder_width=qc.encoder_width,
@@ -455,8 +459,12 @@ def save_reference_user_qformer_checkpoint(
         num_hidden_layers=qc.num_hidden_layers,
         num_attention_heads=qc.num_attention_heads,
         intermediate_size=qc.intermediate_size,
-        hidden_dropout_prob=qc.hidden_dropout_prob,
-        attention_probs_dropout_prob=qc.attention_probs_dropout_prob,
+        hidden_dropout_prob=config.dropout,
+        # the CONFIGURED rate, not the derived qc value: kernel training
+        # flags zero the derived prob-dropout for the TPU kernels, but the
+        # exported architecture description must keep the user's rate so
+        # reference-side fine-tuning regularizes as configured
+        attention_probs_dropout_prob=config.dropout,
         add_cross_attention=qc.add_cross_attention,
         query_length=qc.query_length,
         encoder_width=qc.encoder_width,
