@@ -509,3 +509,54 @@ def test_joint_pp_cli(pipeline_dir):
         "--eval-every-steps", "100", "--save-strategy", "best_only",
         "--checkpoint-dir", ckpt,
     ]) == 0
+
+
+def test_users_cli(pipeline_dir):
+    """`users`: offline bulk user-embedding sweep — L2-normalized
+    joint-space vectors for every history, identical across input schemas
+    (LRanker list vs dict) and across a dp-sharded mesh."""
+    d = pipeline_dir
+    if not os.path.exists(d / "qwen_emb32.json"):
+        test_full_pipeline_raw_jsonl_to_recommendation(pipeline_dir)
+
+    from unirec_tpu.cli.user_embeddings import main as users_main
+
+    base = [
+        "--qformer-checkpoint", str(d / "iq_ckpt"),
+        "--cache-dir", str(d / "cache"),
+        "--item-dict", str(d / "triplet_dict.json"),
+        "--catalog", str(d / "qwen_emb32.json"),
+        "--tiny", "--max-length", "64", "--batch-size", "4",
+    ]
+    out = str(d / "user_emb.npy")
+    assert users_main(base + ["--histories", str(d / "rec_train.json"),
+                              "--output", out]) == 0
+    emb = np.load(out)
+    with open(out + ".ids.json") as f:
+        ids = json.load(f)
+    assert emb.shape[0] == len(ids) == 5
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-3)
+
+    # dict input + json output: same users -> same vectors
+    with open(d / "rec_train.json") as f:
+        samples = json.load(f)
+    hist_dict = {s["user_id"]: s["history"] for s in samples}
+    jout = str(d / "user_emb.json")
+    with open(d / "hist_dict.json", "w") as f:
+        json.dump(hist_dict, f)
+    assert users_main(base + ["--histories", str(d / "hist_dict.json"),
+                              "--output", jout]) == 0
+    with open(jout) as f:
+        jm = json.load(f)
+    for i, u in enumerate(ids):
+        uid = samples[i]["user_id"]
+        np.testing.assert_allclose(np.asarray(jm[uid]), emb[i], atol=1e-5)
+
+    # dp-sharded sweep matches single-device
+    import jax
+
+    if len(jax.devices()) >= 2:
+        out_dp = str(d / "user_emb_dp.npy")
+        assert users_main(base + ["--histories", str(d / "rec_train.json"),
+                                  "--output", out_dp, "--dp", "2"]) == 0
+        np.testing.assert_allclose(np.load(out_dp), emb, atol=1e-5)

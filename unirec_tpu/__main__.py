@@ -7,6 +7,7 @@ Commands:
   tokens      batch item-query-token generation (flagship data tool)
   embed       candidate-pool item embeddings (clip / qwen3)
   review-embed  review + item concatenated embeddings
+  users       offline bulk user-embedding sweep (joint-space vectors)
   serve       HTTP recommendation server (full-catalog retrieval)
 """
 
@@ -43,6 +44,8 @@ def main() -> int:
         from unirec_tpu.cli.candidate_embeddings import main as m
     elif cmd == "review-embed":
         from unirec_tpu.cli.review_embeddings import main as m
+    elif cmd == "users":
+        from unirec_tpu.cli.user_embeddings import main as m
     elif cmd == "serve":
         from unirec_tpu.cli.serve_cli import main as m
     else:
