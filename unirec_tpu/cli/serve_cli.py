@@ -17,8 +17,9 @@ import argparse
 import json
 
 
-def parse_args(argv=None):
-    p = argparse.ArgumentParser(description=__doc__)
+def add_recommender_flags(p, batch_size: int = 8):
+    """Every flag ``build_recommender`` reads — shared with the offline
+    ``users`` sweep CLI so the two surfaces can't drift."""
     p.add_argument("--checkpoint", default=None,
                    help="joint-model orbax checkpoint dir (optional)")
     p.add_argument("--qformer-checkpoint", required=True)
@@ -27,9 +28,7 @@ def parse_args(argv=None):
     p.add_argument("--catalog", required=True,
                    help="candidate item-embedding JSON")
     p.add_argument("--hf-path", default=None)
-    p.add_argument("--host", default="127.0.0.1")
-    p.add_argument("--port", type=int, default=8099)
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=batch_size)
     p.add_argument("--max-length", type=int, default=512)
     p.add_argument("--quantize", action="store_true",
                    help="int8-quantize the catalog")
@@ -40,8 +39,15 @@ def parse_args(argv=None):
     p.add_argument("--tiny", action="store_true",
                    help="tiny Qwen3 config (smoke tests / CPU)")
     p.add_argument("--dp", type=int, default=0,
-                   help="shard serving over a dp mesh of this many chips "
+                   help="shard over a dp mesh of this many chips "
                         "(0 = single device); batch-size must divide by it")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_recommender_flags(p, batch_size=8)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8099)
     return p.parse_args(argv)
 
 

@@ -513,19 +513,17 @@ def _run_joint(args) -> int:
 
     best_mrr = float("-inf")
     if getattr(args, "resume", False) and args.checkpoint_dir:
-        import os as _os
-
         from unirec_tpu.utils.checkpoint import restore_train_state
 
         # strategy "both" nests latest_model/best_model under the dir;
         # prefer latest (true continuation), then best, then the flat layout
         candidates = [
-            _os.path.join(args.checkpoint_dir, "latest_model"),
-            _os.path.join(args.checkpoint_dir, "best_model"),
+            os.path.join(args.checkpoint_dir, "latest_model"),
+            os.path.join(args.checkpoint_dir, "best_model"),
             args.checkpoint_dir,
         ]
         for cand in candidates:
-            if _os.path.exists(_os.path.join(cand, "state")):
+            if os.path.exists(os.path.join(cand, "state")):
                 try:
                     state, meta = restore_train_state(cand, state)
                 except Exception:

@@ -27,33 +27,15 @@ import json
 
 
 def parse_args(argv=None):
+    from unirec_tpu.cli.serve_cli import add_recommender_flags
+
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", default=None,
-                   help="joint-model orbax checkpoint dir (optional)")
-    p.add_argument("--qformer-checkpoint", required=True)
-    p.add_argument("--cache-dir", required=True)
-    p.add_argument("--item-dict", required=True)
-    p.add_argument("--catalog", required=True,
-                   help="candidate item-embedding JSON (fixes the joint "
-                        "hidden space; also reused by --score-catalog)")
-    p.add_argument("--hf-path", default=None)
+    add_recommender_flags(p, batch_size=16)
     p.add_argument("--histories", required=True,
                    help="user histories JSON (dict user->[asins] or "
                         "LRanker sample list)")
     p.add_argument("--output", required=True,
                    help=".npy matrix (+ .ids.json sidecar) or .json map")
-    p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--max-length", type=int, default=512)
-    p.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
-    p.add_argument("--tiny", action="store_true",
-                   help="tiny Qwen3 config (smoke tests / CPU)")
-    p.add_argument("--dp", type=int, default=0,
-                   help="shard the sweep over a dp mesh (0 = one device)")
-    # flags build_recommender reads but this sweep never exercises
-    p.add_argument("--quantize", action="store_true", help=argparse.SUPPRESS)
-    p.add_argument("--prewarm", action="store_true",
-                   help="batch-tokenize all prompt fragments up front "
-                        "(worth it for sweeps over most of the catalog)")
     return p.parse_args(argv)
 
 

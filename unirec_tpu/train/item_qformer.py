@@ -22,7 +22,6 @@ negatives are sampled on the fly per epoch like the reference's __getitem__.
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -416,21 +415,10 @@ def train_item_qformer(
 
     best_val = float("inf")
     if resume:
-        if not (checkpoint_dir and os.path.exists(
-            os.path.join(checkpoint_dir, "state")
-        )):
-            # never train-from-scratch silently over an intended
-            # continuation — the run would overwrite the checkpoint dir
-            raise FileNotFoundError(
-                f"resume requested but no checkpoint under "
-                f"{checkpoint_dir!r}"
-            )
-        from unirec_tpu.utils.checkpoint import restore_train_state
+        from unirec_tpu.utils.checkpoint import resume_train_state
 
-        state, meta = restore_train_state(checkpoint_dir, state)
+        state, meta = resume_train_state(checkpoint_dir, state, log_fn)
         best_val = float(meta.get("val_recon_loss", float("inf")))
-        log_fn(f"resumed from {checkpoint_dir} at step {int(state.step)} "
-               f"(best val {best_val:.4f})")
     last_metrics: Dict[str, float] = {}
     for epoch in range(train_config.num_epochs):
         state, train_metrics = trainer.train_epoch(state, cache, pairs, rng)

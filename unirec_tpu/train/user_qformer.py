@@ -17,7 +17,6 @@ TPU-native rebuild of reference training/user_qformer_training.py:
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -388,21 +387,10 @@ def train_user_qformer(
     state = trainer.init_state()
     best_loss = float("inf")
     if resume:
-        if not (checkpoint_dir and os.path.exists(
-            os.path.join(checkpoint_dir, "state")
-        )):
-            # never train-from-scratch silently over an intended
-            # continuation — the run would overwrite the checkpoint dir
-            raise FileNotFoundError(
-                f"resume requested but no checkpoint under "
-                f"{checkpoint_dir!r}"
-            )
-        from unirec_tpu.utils.checkpoint import restore_train_state
+        from unirec_tpu.utils.checkpoint import resume_train_state
 
-        state, meta = restore_train_state(checkpoint_dir, state)
+        state, meta = resume_train_state(checkpoint_dir, state, log_fn)
         best_loss = float(meta.get("loss", float("inf")))
-        log_fn(f"resumed from {checkpoint_dir} at step {int(state.step)} "
-               f"(best loss {best_loss:.4f})")
     metrics: Dict[str, float] = {}
     for epoch in range(train_config.num_epochs):
         state, metrics = trainer.train_epoch(

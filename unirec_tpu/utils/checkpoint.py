@@ -97,6 +97,19 @@ def restore_train_state(directory: str, template_state):
     return state, meta
 
 
+def resume_train_state(directory: Optional[str], template_state, log_fn=print):
+    """``restore_train_state`` with the trainer-resume contract: error
+    loudly when no checkpoint exists instead of silently training from
+    scratch over the intended continuation."""
+    if not (directory and os.path.exists(os.path.join(directory, "state"))):
+        raise FileNotFoundError(
+            f"resume requested but no checkpoint under {directory!r}"
+        )
+    state, meta = restore_train_state(directory, template_state)
+    log_fn(f"resumed from {directory} at step {int(state.step)}")
+    return state, meta
+
+
 def restore_config(meta: Dict[str, Any], config_cls):
     cfg = dict(meta.get("config", {}))
     fields = {f.name for f in dataclasses.fields(config_cls)}
