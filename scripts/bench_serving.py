@@ -116,6 +116,16 @@ def main():
 
         print(f"froze {freeze_host_heap()} heap objects", flush=True)
 
+    # offline sweep path (the `users` CLI): encode_users only — no
+    # retrieval, chunks drained to host as they leave the in-flight window
+    for label in ("sweep-cold", "sweep-warm"):
+        t0 = time.time()
+        emb = rec.encode_users(histories)
+        dt = time.time() - t0
+        print(f"RESULT {label} users={len(histories)} batch={args.batch} "
+              f"users_per_s={len(histories)/dt:.1f} total_s={dt:.2f} "
+              f"dim={emb.shape[1]}", flush=True)
+
     # pass 1: fragment cache mostly cold (only the compile batch is cached);
     # pass 2: same histories -> fully warm (the steady state under real,
     # repeat-heavy traffic)
