@@ -213,3 +213,45 @@ def test_user_export_loads_strict_into_reference(tmp_path):
     np.testing.assert_allclose(
         np.asarray(pred, np.float32), t_pred.numpy(), atol=2e-5
     )
+
+
+def test_export_roundtrips_relative_position_and_pooler():
+    """Export must also invert the C1 long-tail variants: relative-position
+    self-attention (distance_embedding) and the tanh pooler — a torch
+    BertModel state_dict with both survives convert -> export bit-for-bit."""
+    from models.qformer import BertConfig, BertModel  # reference oracle
+    from unirec_tpu.configs import QFormerConfig
+    from unirec_tpu.utils.torch_convert import (
+        convert_qformer_model,
+        export_qformer_model,
+    )
+
+    cfg = BertConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, add_cross_attention=True,
+        cross_attention_freq=1, encoder_width=24, query_length=4,
+        vocab_size=50, max_position_embeddings=16,
+        position_embedding_type="relative_key_query",
+    )
+    torch.manual_seed(5)
+    tmodel = BertModel(cfg, add_pooling_layer=True)
+    sd_ref = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+
+    qc = QFormerConfig(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, add_cross_attention=True,
+        cross_attention_freq=1, encoder_width=24, query_length=4,
+        vocab_size=50, max_position_embeddings=16,
+        position_embedding_type="relative_key_query",
+    )
+    params = convert_qformer_model(sd_ref, qc)
+    sd_out = export_qformer_model(params, qc)
+    assert sorted(sd_out) == sorted(sd_ref)
+    for k in sd_ref:
+        np.testing.assert_array_equal(sd_out[k], sd_ref[k], err_msg=k)
+    tmodel.load_state_dict(
+        {k: torch.from_numpy(np.array(v)) for k, v in sd_out.items()},
+        strict=True,
+    )
