@@ -388,3 +388,97 @@ def test_pooler_parity():
     np.testing.assert_allclose(
         np.asarray(f_pooled), t_pooled, atol=2e-5, rtol=1e-4
     )
+
+
+def test_generate_parity_vs_hf():
+    """Generation parity: the KV-cached greedy/beam decoders vs the reference
+    riding HF ``generate`` (reference models/qformer.py:1104-1135,
+    ``prepare_inputs_for_generation``/``_reorder_cache``).
+
+    transformers >= 4.50 dropped ``GenerationMixin`` from PreTrainedModel, so
+    the oracle grafts it back onto the reference class; identical converted
+    weights must then produce identical token sequences for greedy decoding,
+    greedy with an EOS early stop, and a 3-wide no-EOS beam (equal-length
+    hypotheses, so HF's length penalty cancels and sequence order is exact).
+    Beam-with-EOS is out of scope by design: HF retires finished hypotheses
+    out of the beam while this implementation freezes them in place, which
+    legitimately explores different continuations.
+    """
+    from transformers.generation import GenerationMixin
+
+    from models.qformer import BertLMHeadModel
+
+    from unirec_tpu.models.qformer_decode import (
+        kv_cached_beam_generate,
+        kv_cached_greedy_generate,
+    )
+    from unirec_tpu.utils.torch_convert import convert_qformer_lm_model
+
+    class GenBert(BertLMHeadModel, GenerationMixin):
+        pass
+
+    cfg, _ = make_torch_bert()
+    torch.manual_seed(11)
+    tmodel = GenBert(cfg)
+    tmodel.eval()
+
+    rng = np.random.RandomState(11)
+    B, M_MEM, T_NEW = 2, 5, 7
+    q = rng.randn(B, K, HIDDEN).astype(np.float32)
+    mem = rng.randn(B, M_MEM, WIDTH).astype(np.float32)
+    bos, pad = 5, 0
+    t_ids = torch.full((B, 1), bos, dtype=torch.long)
+
+    def hf_generate(num_beams, eos):
+        with torch.no_grad():
+            out = tmodel.generate(
+                input_ids=t_ids,
+                query_embeds=torch.tensor(q),
+                encoder_hidden_states=torch.tensor(mem),
+                encoder_attention_mask=torch.ones(B, M_MEM),
+                num_beams=num_beams,
+                max_new_tokens=T_NEW,
+                do_sample=False,
+                bos_token_id=bos,
+                eos_token_id=eos,
+                pad_token_id=pad,
+            ).numpy()
+        # all rows finishing early shortens the output: re-pad to fixed shape
+        full = np.full((B, 1 + T_NEW), pad, np.int64)
+        full[:, : out.shape[1]] = out
+        return full
+
+    fcfg = flax_cfg()
+    fparams = {
+        "params": convert_qformer_lm_model(tmodel.state_dict(), fcfg)
+    }
+    fq, fmem = jnp.asarray(q), jnp.asarray(mem)
+    fem = jnp.ones((B, M_MEM))
+    no_eos = 10**6  # outside the vocab: never emitted, never matched
+
+    def f_greedy(eos):
+        return np.asarray(
+            jax.jit(
+                lambda p: kv_cached_greedy_generate(
+                    p, fcfg, fq, fmem, fem, bos_token_id=bos,
+                    eos_token_id=eos, pad_token_id=pad,
+                    max_new_tokens=1 + T_NEW,  # counts BOS; HF counts new only
+                )
+            )(fparams)
+        )
+
+    t_greedy = hf_generate(1, None)
+    np.testing.assert_array_equal(f_greedy(no_eos), t_greedy)
+
+    # EOS early stop: reuse a token greedy actually emits mid-sequence
+    eos = int(next(x for x in t_greedy[0, 1:] if x != pad))
+    np.testing.assert_array_equal(f_greedy(eos), hf_generate(1, eos))
+
+    t_beam = hf_generate(3, None)
+    f_beam, _ = jax.jit(
+        lambda p: kv_cached_beam_generate(
+            p, fcfg, fq, fmem, fem, bos_token_id=bos, eos_token_id=no_eos,
+            pad_token_id=pad, max_new_tokens=1 + T_NEW, num_beams=3,
+        )
+    )(fparams)
+    np.testing.assert_array_equal(np.asarray(f_beam), t_beam)
