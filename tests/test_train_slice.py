@@ -273,3 +273,58 @@ def test_fused_reference_forwards_matches_xla_path(cache):
     assert abs(m_fused["loss"] - m_xla["loss"]) < 0.05 * max(m_xla["loss"], 1.0)
     # recon term has no fused involvement: should agree tightly
     assert abs(m_fused["recon"] - m_xla["recon"]) < 1e-2
+
+
+def test_gradient_accumulation_matches_big_batch(cache):
+    """``OptimizerConfig.gradient_accumulation_steps`` (= the reference's HF
+    TrainingArguments knob, train_item_individual_token_joint.py:758): two
+    half-batch micro-steps at k=2 must (a) leave params untouched after the
+    first micro-step (zero update) and (b) land on the k=1 full-batch step's
+    params after the second.  Exactness needs fp32, dropout 0, equal micro
+    sizes, and all-valid masks (per-batch mean reductions then compose)."""
+    rng = np.random.RandomState(3)
+    B = 8
+    ones = np.ones((B, F), np.float32)
+    batch = {
+        "anchor_emb": rng.randn(B, F, D).astype(np.float32),
+        "anchor_mask": ones,
+        "pos_emb": rng.randn(B, F, D).astype(np.float32),
+        "pos_mask": ones,
+        "neg_emb": rng.randn(B, F, D).astype(np.float32),
+        "neg_mask": ones,
+    }
+
+    def make(k, bs):
+        tc = TrainConfig(
+            batch_size=bs,
+            optimizer=OptimizerConfig(learning_rate=1e-3,
+                                      gradient_accumulation_steps=k),
+            mesh=MeshConfig(dp=1, tp=1),
+        )
+        tr = ItemQFormerTrainer(TINY_CFG, tc, dtype="float32")
+        return tr, tr.init_state(seed=0)
+
+    tr1, s1 = make(1, B)
+    s1, _ = tr1._train_step(
+        s1, {k: jnp.asarray(v) for k, v in batch.items()}
+    )
+
+    tr2, s2 = make(2, B // 2)
+    p0 = jax.tree_util.tree_map(np.asarray, s2.params)
+    first = {k: jnp.asarray(v[: B // 2]) for k, v in batch.items()}
+    second = {k: jnp.asarray(v[B // 2 :]) for k, v in batch.items()}
+    s2, _ = tr2._train_step(s2, first)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p0), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_array_equal(a, np.asarray(b))  # mid-accum: frozen
+    s2, _ = tr2._train_step(s2, second)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s2.params),
+    ):
+        # fp32 noise between mean-of-halves and the union-batch gradient can
+        # reach ~1e-5 through AdamW's g/(sqrt(v)+eps) near-zero leaves; the
+        # update scale itself is lr=1e-3
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

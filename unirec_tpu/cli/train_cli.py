@@ -52,6 +52,9 @@ def _common_train_flags(sp, batch_size: int, epochs: int, lr: float):
                          "--checkpoint-dir is always written)")
     sp.add_argument("--dp", type=int, default=-1, help="data-parallel size")
     sp.add_argument("--tp", type=int, default=1, help="tensor-parallel size")
+    sp.add_argument("--grad-accum", type=int, default=1,
+                    help="apply the optimizer every k micro-batches on the "
+                         "averaged gradient (= HF gradient_accumulation_steps)")
 
 
 def main(argv=None) -> int:
@@ -293,7 +296,10 @@ def _dispatch(args) -> int:
             num_epochs=args.num_epochs,
             seed=args.seed,
             eval_every_epochs=args.eval_every,
-            optimizer=OptimizerConfig(learning_rate=args.learning_rate),
+            optimizer=OptimizerConfig(
+                learning_rate=args.learning_rate,
+                gradient_accumulation_steps=args.grad_accum,
+            ),
             mesh=MeshConfig(dp=args.dp, tp=args.tp),
         )
         _, metrics = train_item_qformer(
@@ -329,7 +335,10 @@ def _dispatch(args) -> int:
         tc = TrainConfig(
             batch_size=args.batch_size, num_epochs=args.num_epochs,
             seed=args.seed,
-            optimizer=OptimizerConfig(learning_rate=args.learning_rate),
+            optimizer=OptimizerConfig(
+                learning_rate=args.learning_rate,
+                gradient_accumulation_steps=args.grad_accum,
+            ),
             mesh=MeshConfig(dp=args.dp, tp=args.tp),
         )
         model = ItemQFormer(inf.config)
@@ -482,6 +491,7 @@ def _run_joint(args) -> int:
         optimizer=OptimizerConfig(
             learning_rate=args.learning_rate, warmup_steps=20,
             max_grad_norm=1.0,
+            gradient_accumulation_steps=args.grad_accum,
         ),
         mesh=MeshConfig(dp=args.dp, tp=args.tp),
     )

@@ -434,6 +434,11 @@ class OptimizerConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
+    # apply the optimizer every k micro-batches on the averaged gradient
+    # (= HF TrainingArguments.gradient_accumulation_steps, reference
+    # training/train_item_individual_token_joint.py:758); warmup counts
+    # optimizer applies, not micro-steps, matching the HF scheduler
+    gradient_accumulation_steps: int = 1
 
 
 @dataclass(frozen=True)

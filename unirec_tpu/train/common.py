@@ -37,6 +37,15 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     )
     if cfg.max_grad_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+    if cfg.gradient_accumulation_steps > 1:
+        # MultiSteps averages grads over k micro-steps and applies the inner
+        # chain once on the average, so clipping/warmup act on the effective
+        # batch exactly like HF's gradient_accumulation_steps (reference
+        # train_item_individual_token_joint.py:758); intermediate micro-steps
+        # emit zero updates (params unchanged until the k-th step).
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=cfg.gradient_accumulation_steps
+        )
     return tx
 
 
