@@ -152,6 +152,27 @@ def test_mwne_cli(tmp_path):
                        "--checkpoint-dir", str(tmp_path / "mwne")]) == 0
     assert os.path.exists(str(tmp_path / "mwne" / "meta.json"))
 
+    # export-pth --stage mwne writes the reference schema
+    # (models/mwne.py:784-806) and the result reloads through the import
+    # converter into a working backend
+    torch = pytest.importorskip("torch")
+    pth = str(tmp_path / "mathematical_encoder_64d_normalized.pth")
+    assert train_main(["export-pth", "--stage", "mwne",
+                       "--checkpoint", str(tmp_path / "mwne"),
+                       "--output", pth]) == 0
+    ck = torch.load(pth, map_location="cpu", weights_only=False)
+    assert set(ck) >= {"encoder_state_dict", "encoder_config",
+                       "normalization_config", "final_metrics"}
+    assert ck["encoder_config"]["embedding_dim"] == 64
+    assert "fourier_weight" in ck["encoder_state_dict"]
+
+    from unirec_tpu.encoders.backends import MWNENumberBackend
+
+    backend = MWNENumberBackend.from_reference_checkpoint(pth)
+    out = backend.encode([1.5, -2.0, 100.0])
+    assert out.shape == (3, 64)
+    assert np.isfinite(out).all()
+
 
 def test_module_dispatcher_help():
     r = subprocess.run(

@@ -255,3 +255,123 @@ def test_export_roundtrips_relative_position_and_pooler():
         {k: torch.from_numpy(np.array(v)) for k, v in sd_out.items()},
         strict=True,
     )
+
+
+def test_mwne_checkpoint_import_matches_reference(tmp_path):
+    """A reference ``mathematical_encoder_*_normalized.pth`` (the trained
+    number encoder the ItemEncoder requires — reference:
+    models/item_encoder_pure_value.py:68-70, schema models/mwne.py:784-806)
+    converts to Flax variables whose eval forward matches the reference's
+    ``load_trained_encoder`` output exactly."""
+    from models.mwne import (  # reference oracle
+        ImprovedMathematicalEncoder,
+        load_trained_encoder,
+    )
+
+    from unirec_tpu.encoders.backends import MWNENumberBackend
+
+    torch.manual_seed(3)
+    base = ImprovedMathematicalEncoder(
+        embedding_dim=64, num_frequencies=8, max_frequency=50.0,
+        include_raw=True, device="cpu",
+    )
+    with torch.no_grad():  # move off the all-ones init so the test bites
+        base.fourier_weight.add_(0.3 * torch.randn_like(base.fourier_weight))
+        base.raw_scale.add_(0.3 * torch.randn_like(base.raw_scale))
+        base.extra_proj.weight.add_(
+            0.3 * torch.randn_like(base.extra_proj.weight))
+
+    path = str(tmp_path / "mathematical_encoder_64d_normalized.pth")
+    torch.save(
+        {
+            "encoder_state_dict": base.state_dict(),
+            "encoder_config": {
+                "embedding_dim": 64, "num_frequencies": 8,
+                "max_frequency": 50.0, "include_raw": True,
+            },
+            "normalization_config": {
+                "use_normalization": True, "target_std": 1.0,
+                "momentum": 0.99, "min_std": 0.1,
+            },
+        },
+        path,
+    )
+
+    backend = MWNENumberBackend.from_reference_checkpoint(path)
+    assert backend.config.embedding_dim == 64
+    assert backend.config.num_frequencies == 8
+
+    nums = np.array([0.0, 1.0, -2.5, 3.14159, 1000.0, -0.001], np.float32)
+    ours = np.asarray(
+        backend.model.apply(backend.variables, nums, train=False))
+
+    oracle = load_trained_encoder(path, device="cpu")
+    with torch.no_grad():
+        theirs = oracle(torch.tensor(nums)).numpy()
+    # moderate magnitudes match tightly; the 1000.0 row reaches phase
+    # ~5e4 rad where fp32 sin/cos argument reduction differs between
+    # torch and XLA by ~ulp(phase) ≈ 4e-3 rad — backend precision, not a
+    # conversion artifact
+    np.testing.assert_allclose(
+        ours[np.abs(nums) < 100], theirs[np.abs(nums) < 100],
+        atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(ours, theirs, atol=2e-2, rtol=1e-3)
+
+
+def test_mwne_export_loads_into_reference(tmp_path):
+    """The OTHER direction: a TPU-trained MWNE exports to a checkpoint the
+    reference's ``load_trained_encoder`` consumes directly, with matching
+    outputs — and the frequency-grid validation rejects a checkpoint whose
+    buffer disagrees with its own config."""
+    import jax
+    import jax.numpy as jnp
+
+    from models.mwne import load_trained_encoder  # reference oracle
+    from unirec_tpu.configs import MWNEConfig
+    from unirec_tpu.models.mwne import NormalizedMathematicalEncoder
+    from unirec_tpu.utils.torch_convert import (
+        convert_mwne,
+        save_reference_mwne_checkpoint,
+    )
+
+    cfg = MWNEConfig(embedding_dim=48, num_frequencies=6, max_frequency=80.0)
+    model = NormalizedMathematicalEncoder(cfg)
+    variables = model.init(jax.random.PRNGKey(1), jnp.zeros((4,)))
+    # perturb the learnables the way training would
+    key = jax.random.PRNGKey(2)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.3 * jax.random.normal(key, p.shape, p.dtype),
+        variables["params"],
+    )
+    variables = {"params": params, "batch_stats": variables["batch_stats"]}
+
+    out = str(tmp_path / "exported_mwne.pth")
+    save_reference_mwne_checkpoint(
+        out, cfg, variables,
+        final_metrics={"additivity_mse": 0.0, "invertibility_mean": 0.0,
+                       "distance_rank_correlation": 1.0},
+    )
+
+    oracle = load_trained_encoder(out, device="cpu")
+    nums = np.linspace(-5.0, 5.0, 11).astype(np.float32)
+    with torch.no_grad():
+        theirs = oracle(torch.tensor(nums)).numpy()
+    ours = np.asarray(model.apply(variables, nums, train=False))
+    np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-5)
+
+    # round-trips back to the identical Flax tree
+    cfg2, variables2 = convert_mwne(
+        torch.load(out, map_location="cpu", weights_only=False))
+    assert cfg2 == cfg
+    flat1 = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(variables2["params"]))
+    assert set(flat2) == {k for k, _ in flat1}
+    for k, v in flat1:
+        np.testing.assert_array_equal(v, flat2[k], err_msg=str(k))
+
+    # validation: a frequencies buffer inconsistent with its config is refused
+    bad = torch.load(out, map_location="cpu", weights_only=False)
+    bad["encoder_state_dict"]["frequencies"] = (
+        bad["encoder_state_dict"]["frequencies"] * 2.0)
+    with pytest.raises(ValueError, match="frequencies"):
+        convert_mwne(bad)

@@ -181,7 +181,8 @@ def main(argv=None) -> int:
                     help="orbax checkpoint dir (or, for --stage item, an "
                          "existing .pth)")
     sp.add_argument("--output", required=True, help="output .pth path")
-    sp.add_argument("--stage", choices=["item", "user"], default="item")
+    sp.add_argument("--stage", choices=["item", "user", "mwne"],
+                    default="item")
 
     args = p.parse_args(argv)
     return _dispatch(args)
@@ -384,6 +385,23 @@ def _dispatch(args) -> int:
         return 0
 
     if args.cmd == "export-pth":
+        if args.stage == "mwne":
+            from unirec_tpu.utils.checkpoint import (
+                load_checkpoint,
+                restore_config,
+            )
+            from unirec_tpu.utils.torch_convert import (
+                save_reference_mwne_checkpoint,
+            )
+
+            tree, meta = load_checkpoint(args.checkpoint)
+            mcfg = restore_config(meta, MWNEConfig)
+            save_reference_mwne_checkpoint(
+                args.output, mcfg, {"base": tree["params"]["encoder"]},
+                final_metrics=meta.get("final_metrics"),
+            )
+            print(f"wrote reference-schema MWNE checkpoint -> {args.output}")
+            return 0
         if args.stage == "user":
             from unirec_tpu.configs import UserQFormerConfig
             from unirec_tpu.utils.checkpoint import (

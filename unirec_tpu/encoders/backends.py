@@ -333,6 +333,20 @@ class MWNENumberBackend(NumberBackend):
             lambda v, x: self.model.apply(v, x, train=False)
         )
 
+    @classmethod
+    def from_reference_checkpoint(cls, path: str) -> "MWNENumberBackend":
+        """Load the reference's trained number-encoder checkpoint
+        (number_encoders/mathematical_encoder_1024d_normalized.pth —
+        reference: models/item_encoder_pure_value.py:68-70, schema
+        models/mwne.py:784-806) so number-field embeddings match the
+        reference pipeline's."""
+        from unirec_tpu.utils.torch_convert import (
+            load_reference_mwne_checkpoint,
+        )
+
+        cfg, variables = load_reference_mwne_checkpoint(path)
+        return cls(cfg, variables=variables)
+
     def encode(self, numbers: Sequence[float]) -> np.ndarray:
         # Sanitize: invalid -> 0.0 (reference :295-301)
         clean = []
