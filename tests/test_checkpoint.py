@@ -94,3 +94,32 @@ def test_opt_state_restored_structurally(tmp_path):
     # adam mu/nu present and nonzero after a step
     flat = jax.tree_util.tree_leaves(tree["opt_state"])
     assert any(np.abs(np.asarray(x)).max() > 0 for x in flat if hasattr(x, "shape"))
+
+
+def test_resume_grad_accum_mismatch_fails_fast(tmp_path):
+    """A checkpoint saved under --grad-accum k refuses to resume into a run
+    with a different accumulation: MultiSteps changes the opt_state pytree,
+    so without the recorded meta the orbax restore fails opaquely (or, for
+    two values both >1, silently mis-restores the accumulation counters)."""
+    import pytest
+
+    from unirec_tpu.utils.checkpoint import (
+        check_grad_accum,
+        read_meta,
+        resume_train_state,
+    )
+
+    trainer, cache, pairs = _setup()
+    state = trainer.init_state()
+    ckpt = str(tmp_path / "ga")
+    save_checkpoint(ckpt, state, extra={"grad_accum": 2})
+
+    assert read_meta(ckpt)["grad_accum"] == 2
+    check_grad_accum(read_meta(ckpt), 2)  # matching value passes
+    with pytest.raises(ValueError, match="grad-accum"):
+        resume_train_state(ckpt, state, expect_grad_accum=1)
+    # legacy checkpoints without the field default to 1
+    save_checkpoint(ckpt, state, extra={})
+    check_grad_accum(read_meta(ckpt), 1)
+    with pytest.raises(ValueError, match="grad-accum"):
+        check_grad_accum(read_meta(ckpt), 4)

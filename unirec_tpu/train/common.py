@@ -43,6 +43,13 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         # batch exactly like HF's gradient_accumulation_steps (reference
         # train_item_individual_token_joint.py:758); intermediate micro-steps
         # emit zero updates (params unchanged until the k-th step).
+        # Known divergence from HF at epoch tails: the HF Trainer forces an
+        # optimizer apply on the last (possibly incomplete) accumulation of
+        # each epoch, while MultiSteps carries a partial accumulation across
+        # the epoch boundary and drops any pending micro-grads at the very
+        # end of training.  With the default drop_last batching, epochs are
+        # whole micro-batches, so at most k-1 micro-batches (< one effective
+        # batch) are deferred/dropped over the entire run.
         tx = optax.MultiSteps(
             tx, every_k_schedule=cfg.gradient_accumulation_steps
         )

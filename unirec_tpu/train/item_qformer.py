@@ -417,7 +417,11 @@ def train_item_qformer(
     if resume:
         from unirec_tpu.utils.checkpoint import resume_train_state
 
-        state, meta = resume_train_state(checkpoint_dir, state, log_fn)
+        state, meta = resume_train_state(
+            checkpoint_dir, state, log_fn,
+            expect_grad_accum=train_config.optimizer
+            .gradient_accumulation_steps,
+        )
         best_val = float(meta.get("val_recon_loss", float("inf")))
     last_metrics: Dict[str, float] = {}
     for epoch in range(train_config.num_epochs):
@@ -440,7 +444,9 @@ def train_item_qformer(
                     state,
                     config=model_config,
                     extra={"field_names": list(cache.fields),
-                           "val_recon_loss": best_val},
+                           "val_recon_loss": best_val,
+                           "grad_accum": train_config.optimizer
+                           .gradient_accumulation_steps},
                 )
         else:
             last_metrics = train_metrics

@@ -97,14 +97,42 @@ def restore_train_state(directory: str, template_state):
     return state, meta
 
 
-def resume_train_state(directory: Optional[str], template_state, log_fn=print):
+def check_grad_accum(meta: Dict[str, Any], expected: int) -> None:
+    """Validate a checkpoint's gradient-accumulation setting against the
+    resuming run's.  optax.MultiSteps wraps the opt_state pytree
+    (MultiStepsState around the inner chain), so a mismatched --grad-accum
+    either fails the orbax template restore opaquely or — when both values
+    are >1 — silently mis-restores the mini_step/acc_grads counters.
+    Checkpoints from before this field was recorded default to 1."""
+    saved = int(meta.get("grad_accum", 1))
+    if saved != int(expected):
+        raise ValueError(
+            f"checkpoint was saved with gradient accumulation {saved} but "
+            f"this run uses {int(expected)}; the optimizer-state layout "
+            "depends on it — resume with the matching --grad-accum"
+        )
+
+
+def read_meta(directory: str) -> Dict[str, Any]:
+    meta_path = os.path.join(os.path.abspath(directory), "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
+
+
+def resume_train_state(directory: Optional[str], template_state,
+                       log_fn=print, expect_grad_accum: Optional[int] = None):
     """``restore_train_state`` with the trainer-resume contract: error
     loudly when no checkpoint exists instead of silently training from
-    scratch over the intended continuation."""
+    scratch over the intended continuation.  Pass ``expect_grad_accum`` to
+    fail fast (before the orbax restore) on an accumulation mismatch."""
     if not (directory and os.path.exists(os.path.join(directory, "state"))):
         raise FileNotFoundError(
             f"resume requested but no checkpoint under {directory!r}"
         )
+    if expect_grad_accum is not None:
+        check_grad_accum(read_meta(directory), expect_grad_accum)
     state, meta = restore_train_state(directory, template_state)
     log_fn(f"resumed from {directory} at step {int(state.step)}")
     return state, meta
