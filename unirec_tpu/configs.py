@@ -244,16 +244,25 @@ class UserQFormerConfig:
     # parity-tested (tests/test_fused_train.py). Zeroes attention-PROB
     # dropout like flash_training and ItemQFormerConfig.fused_training.
     fused_training: bool = False
+    # Sequence parallelism (`train user --sp N`): the long-history memory
+    # axis shards over the mesh's 'sp' axis — N devices hold N× the history
+    # at the same per-device HBM, combined exactly over ICI
+    # (ops/sharded_attention.py).  Zeroes attention-PROB dropout like the
+    # kernel flags (probs never exist globally); incompatible with
+    # flash/fused training (the kernels are single-device).
+    sequence_parallel: bool = False
 
     def qformer(self) -> QFormerConfig:
         # the trainable kernels only engage when the attention-prob dropout
         # rng is absent (models/qformer.py fused_ok/flash gates) — zero it
         # when either kernel flag is set so the flags are never silently
         # inert; hidden-state dropout keeps the configured rate
-        kernel_train = self.fused_training or self.flash_training
+        kernel_train = (self.fused_training or self.flash_training
+                        or self.sequence_parallel)
         if kernel_train and self.dropout > 0.0:
             _warn_prob_dropout_zeroed(
-                "UserQFormerConfig", "flash_training/fused_training",
+                "UserQFormerConfig",
+                "flash_training/fused_training/sequence_parallel",
                 self.dropout,
             )
         return QFormerConfig(
@@ -412,17 +421,21 @@ class JointModelConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh layout. axis 'dp' = data parallel, 'tp' = tensor parallel."""
+    """Device mesh layout. axis 'dp' = data parallel, 'tp' = tensor
+    parallel, 'sp' = sequence parallel (the user stage's long-history
+    memory axis — ops/sharded_attention.py)."""
 
     dp: int = -1  # -1: use all remaining devices
     tp: int = 1
+    sp: int = 1
 
-    def axis_sizes(self, n_devices: int) -> Tuple[int, int]:
-        tp = max(1, self.tp)
-        dp = self.dp if self.dp > 0 else n_devices // tp
-        if dp * tp != n_devices:
-            raise ValueError(f"mesh {dp}x{tp} != {n_devices} devices")
-        return dp, tp
+    def axis_sizes(self, n_devices: int) -> Tuple[int, int, int]:
+        tp, sp = max(1, self.tp), max(1, self.sp)
+        dp = self.dp if self.dp > 0 else n_devices // (tp * sp)
+        if dp * tp * sp != n_devices:
+            raise ValueError(
+                f"mesh dp={dp} x tp={tp} x sp={sp} != {n_devices} devices")
+        return dp, tp, sp
 
 
 @dataclass(frozen=True)

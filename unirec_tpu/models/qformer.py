@@ -127,6 +127,11 @@ class QFormerAttention(nn.Module):
     config: QFormerConfig
     is_cross: bool = False
     dtype: Dtype = jnp.float32
+    # sequence-parallel mesh: when set (and its 'sp' axis > 1), cross-
+    # attention memory is sharded over the mesh and combined exactly via
+    # log-sum-exp collectives (ops/sharded_attention.py) — the user stage's
+    # `--sp N` long-history mode.  Static module metadata, not a param.
+    sp_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -229,6 +234,34 @@ class QFormerAttention(nn.Module):
                     num_heads=heads, interpret=interpret,
                 )
             ctx = None
+        elif (
+            self.is_cross
+            and self.sp_mesh is not None
+            and self.sp_mesh.shape.get("sp", 1) > 1
+            and not fast
+        ):
+            # sequence-parallel cross-attention: K/V project under GSPMD
+            # (XLA shards the [B, Lkv, D] memory over 'sp' via the trainer's
+            # sharding constraint), then exact log-sum-exp combine over ICI
+            # (ops/sharded_attention.py).  Requires deterministic attention
+            # probs (the trainer zeroes prob dropout, like flash_training);
+            # grads flow through shard_map (replicated q's cotangent is
+            # psum'd at the boundary automatically).
+            if rng is not None:
+                raise ValueError(
+                    "sequence-parallel cross-attention requires "
+                    "attention-prob dropout off (set sequence_parallel "
+                    "on the config so qformer() zeroes it)"
+                )
+            from unirec_tpu.ops.sharded_attention import (
+                sequence_parallel_cross_attention,
+            )
+
+            k = split_heads(dense("key")(src), heads)
+            v = split_heads(dense("value")(src), heads)
+            ctx = sequence_parallel_cross_attention(
+                q, k, v, bias, mesh=self.sp_mesh, axis="sp"
+            )
         elif self.is_cross and cfg.flash_training and rng is None and not fast:
             # trainable streaming kernel with the K/V projections INSIDE the
             # custom vjp (ops/flash_vjp.flash_cross_attention_proj_vjp): the
@@ -381,6 +414,7 @@ class QFormerLayer(nn.Module):
     config: QFormerConfig
     has_cross_attention: bool
     dtype: Dtype = jnp.float32
+    sp_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -405,7 +439,8 @@ class QFormerLayer(nn.Module):
                         "encoder_hidden_states required for cross-attention layers"
                     )
                 query_part = QFormerAttention(
-                    cfg, is_cross=True, name="crossattention", dtype=self.dtype
+                    cfg, is_cross=True, name="crossattention",
+                    dtype=self.dtype, sp_mesh=self.sp_mesh,
                 )(
                     query_part,
                     encoder_bias,
@@ -433,6 +468,7 @@ class QFormerEncoder(nn.Module):
 
     config: QFormerConfig
     dtype: Dtype = jnp.float32
+    sp_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -453,7 +489,8 @@ class QFormerEncoder(nn.Module):
                 cfg.add_cross_attention and i % cfg.cross_attention_freq == 0
             )
             hidden_states = layer_cls(
-                cfg, has_cross, name=f"layer_{i}", dtype=self.dtype
+                cfg, has_cross, name=f"layer_{i}", dtype=self.dtype,
+                sp_mesh=self.sp_mesh,
             )(
                 hidden_states,
                 self_bias,
@@ -498,6 +535,7 @@ class QFormerModel(nn.Module):
     config: QFormerConfig
     dtype: Dtype = jnp.float32
     add_pooling_layer: bool = False
+    sp_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -541,7 +579,9 @@ class QFormerModel(nn.Module):
                 )
             encoder_bias = make_additive_mask(encoder_attention_mask)
 
-        sequence_output = QFormerEncoder(cfg, name="encoder", dtype=self.dtype)(
+        sequence_output = QFormerEncoder(
+            cfg, name="encoder", dtype=self.dtype, sp_mesh=self.sp_mesh
+        )(
             hidden,
             self_bias,
             encoder_hidden_states,

@@ -24,6 +24,10 @@ Dtype = Any
 class UserQFormer(nn.Module):
     config: UserQFormerConfig
     dtype: Dtype = jnp.float32
+    # sequence-parallel mesh (config.sequence_parallel mode): the history
+    # memory axis shards over mesh['sp'] inside every cross-attention
+    # (ops/sharded_attention.py); static metadata, set by the trainer.
+    sp_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -46,7 +50,10 @@ class UserQFormer(nn.Module):
         )
         query_attention_mask = jnp.ones((batch, cfg.num_query_tokens), jnp.float32)
 
-        outputs = QFormerModel(cfg.qformer(), name="qformer", dtype=self.dtype)(
+        outputs = QFormerModel(
+            cfg.qformer(), name="qformer", dtype=self.dtype,
+            sp_mesh=self.sp_mesh,
+        )(
             query_embeds=query_embeds,
             attention_mask=query_attention_mask,
             encoder_hidden_states=user_sequence_tokens.astype(self.dtype),

@@ -67,7 +67,12 @@ def sequence_parallel_cross_attention(
 
     def inner(q, k, v, bias):
         acc, l, m = _local_partial_attention(q, k, v, bias)
-        m_global = jax.lax.pmax(m, axis)
+        # softmax is shift-invariant, so the max subtraction contributes
+        # zero gradient mathematically — stop_gradient makes that explicit
+        # and keeps the op differentiable (lax.pmax has no transpose rule;
+        # the trainer's sp mode differentiates through this op, with
+        # shard_map inserting the psum for the replicated q's cotangent)
+        m_global = jax.lax.pmax(jax.lax.stop_gradient(m), axis)
         correction = jnp.exp(m - m_global)
         l_global = jax.lax.psum(l * correction, axis)
         acc_global = jax.lax.psum(acc * correction.astype(acc.dtype), axis)

@@ -4,7 +4,9 @@ The reference has no parallelism at all (single pinned GPU,
 reference: training/train_item_individual_token_joint.py:33-34; audit in
 SURVEY.md §2.4).  The TPU-native replacement is the idiomatic JAX stack:
 
-* one ``jax.sharding.Mesh`` with axes ``("dp", "tp")``;
+* one ``jax.sharding.Mesh`` with axes ``("dp", "tp", "sp")`` — data,
+  tensor, and sequence parallelism (sp shards the user stage's long-history
+  memory axis, ops/sharded_attention.py);
 * batches sharded over ``dp`` via NamedSharding, params replicated over ``dp``
   and (optionally) tensor-sharded over ``tp``;
 * gradient reduction happens inside jit via XLA collectives over ICI — no
@@ -27,25 +29,26 @@ from unirec_tpu.configs import MeshConfig
 
 DP_AXIS = "dp"
 TP_AXIS = "tp"
+SP_AXIS = "sp"
 
 
 def make_mesh(
     config: MeshConfig = MeshConfig(), devices: Optional[Sequence[Any]] = None
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
+    tp, sp = max(1, config.tp), max(1, config.sp)
     if config.dp > 0:
-        # explicit sizes: use the first dp*tp devices
-        tp = max(1, config.tp)
-        need = config.dp * tp
+        # explicit sizes: use the first dp*tp*sp devices
+        need = config.dp * tp * sp
         if need > len(devices):
-            raise ValueError(f"mesh {config.dp}x{tp} needs {need} devices, "
-                             f"have {len(devices)}")
+            raise ValueError(f"mesh {config.dp}x{tp}x{sp} needs {need} "
+                             f"devices, have {len(devices)}")
         devices = devices[:need]
         dp = config.dp
     else:
-        dp, tp = config.axis_sizes(len(devices))
-    dev_array = np.asarray(devices).reshape(dp, tp)
-    return Mesh(dev_array, (DP_AXIS, TP_AXIS))
+        dp, tp, sp = config.axis_sizes(len(devices))
+    dev_array = np.asarray(devices).reshape(dp, tp, sp)
+    return Mesh(dev_array, (DP_AXIS, TP_AXIS, SP_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

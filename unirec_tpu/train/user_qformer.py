@@ -128,12 +128,31 @@ class UserQFormerTrainer:
         compute_dtype = (
             jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         )
-        self.user_model = UserQFormer(self.user_config, dtype=compute_dtype)
+        self.mesh = make_mesh(self.train_config.mesh)
+        self.dp_size = self.mesh.shape["dp"]
+        self.sp_size = dict(self.mesh.shape).get("sp", 1)
+        if self.user_config.sequence_parallel and self.sp_size <= 1:
+            raise ValueError(
+                "sequence_parallel requires an 'sp' mesh axis > 1 "
+                "(TrainConfig.mesh.sp / `train user --sp N`)"
+            )
+        sp_mesh = self.mesh if (
+            self.user_config.sequence_parallel and self.sp_size > 1
+        ) else None
+        if sp_mesh is not None and (
+            self.user_config.flash_training or self.user_config.fused_training
+        ):
+            raise ValueError(
+                "sequence_parallel is incompatible with flash/fused training "
+                "(the Pallas kernels are single-device; the sp combine is "
+                "an XLA collective path)"
+            )
+        self.user_model = UserQFormer(
+            self.user_config, dtype=compute_dtype, sp_mesh=sp_mesh
+        )
         self.seq_model = UserSequenceModel(
             self.user_config.input_embedding_dim, dtype=compute_dtype
         )
-        self.mesh = make_mesh(self.train_config.mesh)
-        self.dp_size = self.mesh.shape["dp"]
         # flash/fused training puts pallas_call in the gradient path, which
         # GSPMD cannot partition — multi-device dp meshes route through an
         # explicit shard_map like the item/joint trainers (exact: the
@@ -169,6 +188,17 @@ class UserQFormerTrainer:
 
         seed = self.train_config.seed
 
+        sp_flat_sh = sp_mask_sh = None
+        if self.user_model.sp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # memory tokens sharded over 'sp' (batch stays over 'dp'):
+            # GSPMD shards the sequence assembly + K/V projections along
+            # the token axis; the cross-attention op combines exactly over
+            # ICI (ops/sharded_attention.py)
+            sp_flat_sh = NamedSharding(self.mesh, P("dp", "sp", None))
+            sp_mask_sh = NamedSharding(self.mesh, P("dp", "sp"))
+
         def step(state: TrainState, batch):
             # hardware-rng dropout bits (see train/joint.py); the
             # configured seed feeds the key
@@ -193,6 +223,10 @@ class UserQFormerTrainer:
                     batch["coordinates"],
                     batch["seq_mask"],
                 )
+                if sp_flat_sh is not None:
+                    flat = jax.lax.with_sharding_constraint(flat, sp_flat_sh)
+                    flat_mask = jax.lax.with_sharding_constraint(
+                        flat_mask, sp_mask_sh)
                 pred = user_model.apply(
                     {"params": params["user"]},
                     flat,
@@ -389,7 +423,11 @@ def train_user_qformer(
     if resume:
         from unirec_tpu.utils.checkpoint import resume_train_state
 
-        state, meta = resume_train_state(checkpoint_dir, state, log_fn)
+        state, meta = resume_train_state(
+            checkpoint_dir, state, log_fn,
+            expect_grad_accum=train_config.optimizer
+            .gradient_accumulation_steps,
+        )
         best_loss = float(meta.get("loss", float("inf")))
     metrics: Dict[str, float] = {}
     for epoch in range(train_config.num_epochs):
@@ -406,7 +444,9 @@ def train_user_qformer(
 
                 save_checkpoint(
                     checkpoint_dir, state, config=user_config,
-                    extra={"epoch": epoch, "loss": best_loss},
+                    extra={"epoch": epoch, "loss": best_loss,
+                           "grad_accum": train_config.optimizer
+                           .gradient_accumulation_steps},
                 )
     if val_samples:
         from unirec_tpu.eval.user_eval import evaluate_user_qformer
