@@ -1,0 +1,90 @@
+"""Closed-loop HTTP load client for the recommendation server.
+
+One PROCESS per client (VERDICT r2 next #1: out-of-process load generation —
+in-process threaded clients serialize on the GIL with the server on this
+1-core host and measure the client, not the server).  Keep-alive connection,
+minimal per-request work, per-request latencies reported as ONE JSON line on
+stdout at exit.
+
+Usage (spawned by scripts/bench_http_serving.py):
+  python scripts/http_load_client.py --port P --requests N --seed S \
+      --catalog 20000 --hot 1000 --max-history 10
+"""
+
+import argparse
+import http.client
+import json
+import random
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, required=True)
+    p.add_argument("--requests", type=int, default=32)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--catalog", type=int, default=20000)
+    p.add_argument("--hot", type=int, default=1000)
+    p.add_argument("--max-history", type=int, default=10)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--sync", action="store_true",
+                   help="print READY on stdout after setup, then block for a "
+                        "GO line on stdin before requesting (synchronizes "
+                        "concurrently-spawned clients to one start instant "
+                        "regardless of interpreter spawn time — ~2s/process "
+                        "on the 1-core host)")
+    args = p.parse_args()
+
+    rng = random.Random(args.seed)
+    # pre-build all request bodies so the measured loop is pure I/O
+    # (zipfian-ish: 80% of history items from the hot set, like the offline
+    # bench's traffic model)
+    bodies = []
+    for _ in range(args.requests):
+        n = rng.randint(1, args.max_history)
+        hist = [
+            "B%08d" % rng.randrange(
+                args.hot if rng.random() < 0.8 else args.catalog)
+            for _ in range(n)
+        ]
+        bodies.append(json.dumps({"history": hist, "k": args.k}).encode())
+
+    conn = http.client.HTTPConnection(args.host, args.port, timeout=600)
+    headers = {"Content-Type": "application/json"}
+    latencies = []
+    errors = 0
+    if args.sync:
+        import sys
+
+        print("READY", flush=True)
+        sys.stdin.readline()  # GO
+    t_start = time.time()
+    for body in bodies:
+        t0 = time.time()
+        try:
+            conn.request("POST", "/recommend", body=body, headers=headers)
+            resp = conn.getresponse()
+            data = resp.read()
+            if resp.status != 200 or len(json.loads(data)["items"]) != args.k:
+                errors += 1
+        except Exception:
+            errors += 1
+            conn.close()
+            conn = http.client.HTTPConnection(
+                args.host, args.port, timeout=600)
+        latencies.append(time.time() - t0)
+    total = time.time() - t_start
+    conn.close()
+    print(json.dumps({
+        "requests": args.requests,
+        "errors": errors,
+        "total_s": total,
+        "t_start": t_start,
+        "t_end": t_start + total,
+        "latencies_ms": [round(1000 * x, 2) for x in latencies],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -56,3 +56,43 @@ def test_pallas_int8_retrieval_interpret():
     )
     np.testing.assert_array_equal(np.asarray(i_pl), np.asarray(i_ref))
     np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref), atol=1e-5)
+
+
+def test_int8_linear_kernel_matches_xla_dot():
+    """ops/int8_matmul.int8_linear (the fused Pallas W8A8 projection that
+    replaces the pathological XLA int8 dot in serving — BASELINE.md round 3)
+    computes the same quantized matmul as the reference XLA formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from unirec_tpu.ops.int8_matmul import int8_linear, supports_int8_linear
+
+    assert supports_int8_linear(512, 1024, 512, min_rows=0)
+    assert not supports_int8_linear(500, 1024, 512, min_rows=0)
+    assert not supports_int8_linear(8192, 1024, 512)  # below _MIN_ROWS
+    assert supports_int8_linear(16384, 1024, 512)
+    assert not supports_int8_linear(512, 1000, 512, min_rows=0)
+
+    rng = np.random.RandomState(0)
+    m, k, n = 512, 256, 512
+    x = jnp.asarray(rng.randn(m, k).astype(np.float32) * 3.0)
+    w = rng.randn(k, n).astype(np.float32) * 0.05
+    col = np.maximum(np.abs(w).max(axis=0, keepdims=True), 1e-8)
+    ks = (col / 127.0).astype(np.float32)
+    kq = np.clip(np.round(w / ks), -127, 127).astype(np.int8)
+
+    got = int8_linear(x, jnp.asarray(kq), jnp.asarray(ks),
+                      out_dtype=jnp.float32, interpret=True)
+
+    x32 = np.asarray(x, np.float64)
+    absmax = np.maximum(np.abs(x32).max(axis=-1, keepdims=True), 1e-6)
+    rs = absmax / 127.0
+    xq = np.clip(np.round(x32 / rs), -127, 127).astype(np.int32)
+    want = (xq @ kq.astype(np.int32)) * rs * ks
+    # quantization-bucket ties can flip one int8 level between the kernel's
+    # multiply-by-reciprocal and the oracle's divide; bound by one level
+    level = rs * ks  # per (row, col) magnitude of one int8 step
+    err = np.abs(np.asarray(got, np.float64) - want)
+    assert (err <= 130 * level + 1e-6).all()
+    c = np.corrcoef(np.asarray(got).ravel(), want.ravel())[0, 1]
+    assert c > 0.9999

@@ -208,11 +208,20 @@ class _StubRecommender:
         self.calls = []
 
     def recommend(self, histories, k=10):
+        return self.recommend_finalize(self.recommend_submit(histories, k))
+
+    # the batcher drives the split submit/finalize interface (pipelined
+    # dispatcher); the stub poisons at submit like real assembly errors
+    def recommend_submit(self, histories, k=10):
         self.calls.append([list(h) for h in histories])
         if self.poison is not None and any(
             self.poison in h for h in histories
         ):
             raise ValueError("poisoned request")
+        return (histories, k)
+
+    def recommend_finalize(self, handle):
+        histories, k = handle
         return [
             [type("R", (), {"item_id": c, "score": 1.0})()
              for c in self.catalog_ids[:k]]
@@ -344,11 +353,11 @@ def test_make_server_freeze_heap_still_serves(recommender):
         gc.unfreeze()
 
 
-def test_int8_large_batch_clamps_loudly():
-    """Recommender(precision='int8', batch_size>16) is a measured-slow XLA
-    configuration (BASELINE.md round 3) — it must warn and clamp."""
-    import warnings
-
+def test_int8_large_batch_accepted():
+    """batch 32 int8 is a supported configuration now: the round-3 XLA
+    int8-dot pathology is fixed by the fused Pallas projection kernel
+    (ops/int8_matmul.py), so the old loud clamp is gone and large batches
+    construct + serve normally."""
     rng = np.random.RandomState(3)
     n = 4
     ids = [f"i{j}" for j in range(n)]
@@ -370,14 +379,13 @@ def test_int8_large_batch_clamps_loudly():
         jnp.zeros((1, JC.num_history_items, F, FD)),
         jnp.ones((1, JC.num_history_items, F)),
     )
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        rec = Recommender(
-            model, params, tok, {i: {"title": i} for i in ids}, cache,
-            catalog, batch_size=32, precision="int8",
-        )
-    assert rec.batch_size == 16
-    assert any("clamping to 16" in str(x.message) for x in w)
+    rec = Recommender(
+        model, params, tok, {i: {"title": i} for i in ids}, cache,
+        catalog, batch_size=32, precision="int8",
+    )
+    assert rec.batch_size == 32
+    recs = rec.recommend([["i0"], []], k=2)
+    assert all(len(r) == 2 for r in recs)
 
 
 def test_quantized_recommender(recommender):
@@ -431,11 +439,9 @@ def test_int8_recommender(recommender):
         )
 
 
-def test_int8_clamp_is_per_chip_and_dp_divisible(recommender):
-    """The int8 batch clamp limits the PER-CHIP batch (the measured XLA
-    pathology is per-chip rows, BASELINE.md round 3) and must never break
-    the dp divisibility invariant: clamping runs before the divisibility
-    check and clamps to 16*dp."""
+def test_int8_dp_divisibility_still_enforced(recommender):
+    """With the int8 clamp gone, the dp divisibility invariant must still
+    hold (a non-divisible batch is a shard_map crash at serve time)."""
     from unirec_tpu.configs import MeshConfig
     from unirec_tpu.parallel.mesh import make_mesh
 
@@ -444,25 +450,16 @@ def test_int8_clamp_is_per_chip_and_dp_divisible(recommender):
     args = (recommender.model, recommender.params, recommender.tokenizer,
             recommender.item_dict, recommender.cache, catalog)
 
-    # single device: >16 clamps to 16 with a warning
-    with pytest.warns(UserWarning, match="clamping to 16"):
-        r = Recommender(*args, batch_size=24, precision="int8")
-    assert r.batch_size == 16
+    r = Recommender(*args, batch_size=32, precision="int8")
+    assert r.batch_size == 32
 
     if len(jax.devices()) < 2:
         pytest.skip("needs >= 2 devices")
     mesh = make_mesh(MeshConfig(dp=2, tp=1))
-    # 16/chip at dp=2 (the known-good per-chip size) must NOT clamp
-    r32 = Recommender(*args, batch_size=32, precision="int8", mesh=mesh)
-    assert r32.batch_size == 32
-    # >16/chip clamps to 16*dp, which stays dp-divisible (no shard_map
-    # divisibility crash at serve time)
-    with pytest.warns(UserWarning, match="clamping to 32"):
-        r48 = Recommender(*args, batch_size=48, precision="int8", mesh=mesh)
-    assert r48.batch_size == 32
-    assert r48.batch_size % r48.dp_size == 0
-    recs = r48.recommend([["i0"], ["i1", "i2"], []], k=3)
-    assert all(len(r) == 3 for r in recs)
+    r48 = Recommender(*args, batch_size=48, precision="int8", mesh=mesh)
+    assert r48.batch_size == 48
+    with pytest.raises(ValueError, match="not divisible"):
+        Recommender(*args, batch_size=33, precision="int8", mesh=mesh)
 
 
 def test_dp_mesh_recommender_matches_single_device(recommender):

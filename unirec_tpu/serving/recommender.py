@@ -94,24 +94,11 @@ class Recommender:
         self.dp_size = int(mesh.shape["dp"]) if mesh is not None else 1
         if precision not in ("bf16", "int8"):
             raise ValueError(f"precision must be bf16 or int8, got {precision!r}")
-        if precision == "int8" and batch_size > 16 * self.dp_size:
-            # measured pathology (BASELINE.md round 3): the XLA int8 dot at
-            # [batch*seq, D] >= [16k, D] PER CHIP picks a bad layout/fusion
-            # — 37.2 users/s at batch 32 vs 79.0 bf16.  Clamp the per-chip
-            # batch to 16 loudly rather than ship the known-bad config
-            # (under dp the limit scales with the mesh, and the clamped
-            # value stays dp-divisible).
-            import warnings
-
-            warnings.warn(
-                f"precision='int8' with batch_size={batch_size} is a "
-                "known-slow XLA configuration at >16 users/chip "
-                f"(BASELINE.md round 3); clamping to {16 * self.dp_size}. "
-                "Use bf16 for larger per-chip batches.",
-                stacklevel=2,
-            )
-            batch_size = 16 * self.dp_size
-            self.batch_size = batch_size
+        # (The round-3 batch<=16 int8 clamp is gone: the XLA int8 dot
+        # pathology at >=16k rows/chip — 37.2 vs 79.0 users/s — is fixed by
+        # routing the projections through the fused Pallas W8A8 kernel,
+        # ops/int8_matmul.py; batch-32 int8 re-measured >= bf16 in
+        # BASELINE.md round 6.)
         if mesh is not None and batch_size % self.dp_size:
             raise ValueError(
                 f"batch_size {batch_size} not divisible by dp mesh size "
@@ -372,16 +359,41 @@ class Recommender:
         shape is a multiple of batch_size, so retrieval retraces per
         distinct CHUNK COUNT, not per user count.
         """
+        return self.recommend_finalize(
+            self.recommend_submit(histories, k, exclude_history))
+
+    def recommend_submit(
+        self,
+        histories: Sequence[Sequence[str]],
+        k: int = 10,
+        exclude_history: bool = True,
+    ):
+        """Host-assembly + async device dispatch half of ``recommend``.
+
+        Returns an opaque handle for :meth:`recommend_finalize`.  JAX
+        dispatch is asynchronous, so between the two calls the device
+        crunches this batch in the background while the caller does host
+        work — the serving dispatcher uses this to overlap batch N+1's
+        tokenization/assembly and batch N's response post-processing with
+        batch N's device compute (the same MAX_IN_FLIGHT overlap the
+        offline ``encode_users`` sweep gets, which the un-pipelined HTTP
+        path measured ~35% slower without — BASELINE.md round 6)."""
         chunks = self._encode_user_chunks(histories)
         fetch = k + (self.jc.num_history_items if exclude_history else 0)
         users_dev = jnp.concatenate([emb for emb, _ in chunks], axis=0).astype(
             jnp.float32
         )
         s, ix = self._retrieve(users_dev, fetch)
+        return (s, ix, [n for _, n in chunks], histories, k, exclude_history)
+
+    def recommend_finalize(self, handle) -> List[List[Recommendation]]:
+        """Blocking half of ``recommend``: fetch the [users, k]
+        scores/indices and build the per-user result lists."""
+        s, ix, counts, histories, k, exclude_history = handle
         s, ix = np.asarray(s), np.asarray(ix)
         keep = np.concatenate(
             [np.arange(i * self.batch_size, i * self.batch_size + n)
-             for i, (_, n) in enumerate(chunks)]
+             for i, n in enumerate(counts)]
         )
         scores, idx = s[keep], ix[keep]
         results: List[List[Recommendation]] = []

@@ -45,6 +45,10 @@ def make_handler(recommender: Recommender, batcher: MicroBatcher):
                         "catalog_size": len(recommender.catalog_ids),
                         "batches_run": batcher.batches_run,
                         "requests_served": batcher.requests_served,
+                        "device_time_s": batcher.device_time_s,
+                        "idle_time_s": batcher.idle_time_s,
+                        "submit_time_s": batcher.submit_time_s,
+                        "finalize_time_s": batcher.finalize_time_s,
                     },
                 )
             else:
