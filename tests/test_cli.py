@@ -581,3 +581,46 @@ def test_users_cli(pipeline_dir):
         assert users_main(base + ["--histories", str(d / "rec_train.json"),
                                   "--output", out_dp, "--dp", "2"]) == 0
         np.testing.assert_allclose(np.load(out_dp), emb, atol=1e-5)
+
+
+def test_export_pretrained_cli(pipeline_dir):
+    """`train export-pretrained` writes the reference save_pretrained
+    directory (train_item_individual_token_joint.py:183-200) from a joint
+    orbax checkpoint, rebuilding model shapes from the config dicts the
+    joint save now records in meta; the adapter loads through
+    PeftModel.from_pretrained on a matching resized base."""
+    torch = pytest.importorskip("torch")
+    peft = pytest.importorskip("peft")
+
+    d = pipeline_dir
+    if not os.path.exists(str(d / "joint_ckpt" / "latest_model" / "state")):
+        test_full_pipeline_raw_jsonl_to_recommendation(pipeline_dir)
+
+    out = str(d / "saved_model")
+    assert train_main(["export-pretrained",
+                       "--checkpoint", str(d / "joint_ckpt"),
+                       "--output", out]) == 0
+    for fn in ("adapter_config.json", "adapter_model.bin",
+               "qformer_model.bin", "model_config.json"):
+        assert os.path.exists(os.path.join(out, fn)), fn
+    with open(os.path.join(out, "model_config.json")) as f:
+        mc = json.load(f)
+    assert mc["use_lora"] is True and mc["hidden_size"] > 0
+
+    from transformers import Qwen3Config as HFQwen3Config, Qwen3Model
+
+    from unirec_tpu.utils.checkpoint import read_meta
+
+    qc = read_meta(str(d / "joint_ckpt" / "latest_model"))["qwen_config"]
+    base = Qwen3Model(HFQwen3Config(
+        vocab_size=qc["vocab_size"], hidden_size=qc["hidden_size"],
+        intermediate_size=qc["intermediate_size"],
+        num_hidden_layers=qc["num_hidden_layers"],
+        num_attention_heads=qc["num_attention_heads"],
+        num_key_value_heads=qc["num_key_value_heads"],
+        head_dim=qc["head_dim"], attention_bias=False,
+    ))
+    base.resize_token_embeddings(qc["vocab_size"] + 20)
+    loaded = peft.PeftModel.from_pretrained(base, out)
+    lora_keys = [k for k in loaded.state_dict() if ".lora_A." in k]
+    assert lora_keys  # adapter weights actually attached

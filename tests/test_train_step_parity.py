@@ -605,3 +605,79 @@ def test_joint_export_is_exact_inverse_and_loads_strict():
         {k: torch.from_numpy(np.array(v)) for k, v in sd_out.items()},
         strict=True,
     )
+
+
+def test_save_pretrained_directory_loads_via_peft(tmp_path):
+    """save_pretrained_directory writes the reference's persisted artifact
+    (tokenizer + PEFT adapter + qformer_model.bin + model_config.json,
+    train_item_individual_token_joint.py:183-200) and the pieces load
+    through the same machinery the reference uses: PeftModel.from_pretrained
+    for the adapter, load_state_dict(strict) for the Q-Former."""
+    import json
+
+    from peft import PeftModel, get_peft_model
+    from transformers import Qwen3Config as HFQwen3Config, Qwen3Model
+
+    from unirec_tpu.utils.torch_convert import save_pretrained_directory
+
+    qc = Qwen3Config(
+        vocab_size=VOCAB, hidden_size=HIDDEN, intermediate_size=FFN,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        num_key_value_heads=2, head_dim=16, flash_attention=False,
+    )
+    qc_hf = HFQwen3Config(
+        vocab_size=VOCAB, hidden_size=HIDDEN, intermediate_size=FFN,
+        num_hidden_layers=LAYERS, num_attention_heads=HEADS,
+        num_key_value_heads=2, head_dim=16, rms_norm_eps=1e-6,
+        rope_theta=1000000.0, attention_bias=False, tie_word_embeddings=True,
+    )
+    icfg = ItemQFormerConfig(
+        hidden_size=HIDDEN, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, intermediate_size=FFN,
+        num_query_tokens=2, field_embedding_dim=WIDTH, num_fields=F,
+        dropout=0.0,
+    )
+    lora = LoRAConfig(r=4, alpha=8.0, dropout=0.0)
+
+    torch.manual_seed(33)
+    tqformer = QFormerForItemRepresentation(
+        hidden_size=HIDDEN, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, intermediate_size=FFN,
+        num_query_tokens=2, field_embedding_dim=WIDTH, num_fields=F,
+        dropout=0.0,
+    )
+    tmodel = _build_ref_joint(qc_hf, tqformer, lora)
+    sd_ref = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_joint_model(sd_ref, qc, icfg)
+
+    out = str(tmp_path / "saved_model")
+    save_pretrained_directory(out, params, qc, icfg, lora_config=lora)
+    assert json.load(open(f"{out}/model_config.json")) == {
+        "hidden_size": HIDDEN, "use_lora": True,
+    }
+
+    # Q-Former half: strict load into the reference module (ref :192)
+    tqformer.load_state_dict(
+        torch.load(f"{out}/qformer_model.bin", map_location="cpu",
+                   weights_only=True),
+        strict=True,
+    )
+
+    # adapter half: the reference reloads by rebuilding the resized base
+    # and attaching the saved adapter (standard PEFT flow)
+    torch.manual_seed(99)  # DIFFERENT base init: only adapter weights travel
+    base2 = Qwen3Model(qc_hf)
+    base2.resize_token_embeddings(VOCAB + N_SPECIAL)
+    loaded = PeftModel.from_pretrained(base2, out)
+    got = {
+        k: v for k, v in loaded.state_dict().items()
+        if ".lora_A." in k or ".lora_B." in k
+    }
+    want = {
+        k: v for k, v in tmodel.base_model.state_dict().items()
+        if ".lora_A." in k or ".lora_B." in k
+    }
+    assert sorted(got) == sorted(want) and len(got) > 0
+    for k in want:
+        np.testing.assert_array_equal(
+            got[k].numpy(), want[k].numpy(), err_msg=k)

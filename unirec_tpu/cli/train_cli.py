@@ -20,6 +20,31 @@ import os
 import sys
 
 
+def _joint_cfg_meta(qwen_cfg, qformer_cfg) -> dict:
+    """Config dicts recorded in joint checkpoint meta so `export-pretrained`
+    can rebuild the exact model shapes without re-specifying them."""
+    import dataclasses
+
+    return {
+        "qwen_config": dataclasses.asdict(qwen_cfg),
+        "qformer_config": dataclasses.asdict(qformer_cfg),
+    }
+
+
+def _cfg_from_meta(meta: dict, key: str, config_cls):
+    import dataclasses
+
+    if key not in meta:
+        raise SystemExit(
+            f"checkpoint meta lacks {key!r} (saved before round 3?); "
+            "re-save with `train joint` or pass a full .pth through "
+            "export_joint_model instead"
+        )
+    fields = {f.name for f in dataclasses.fields(config_cls)}
+    return config_cls(
+        **{k: v for k, v in meta[key].items() if k in fields})
+
+
 def _metrics_logger(args):
     """JSONL metrics under --checkpoint-dir (+ optional wandb).  Returns
     None when neither destination applies (pure-stdout runs)."""
@@ -119,6 +144,13 @@ def main(argv=None) -> int:
                     "and with --bf16 the fastest config at seq 50 too: "
                     "699.7 vs 595.6 samples/s fp32 XLA, BASELINE.md). "
                     "Sets dropout 0.")
+    sp.add_argument("--sp", type=int, default=1,
+                    help="sequence parallelism: shard the long-history "
+                    "memory axis over N devices (N devices hold Nx the "
+                    "history at the same per-device HBM; exact LSE combine "
+                    "over ICI — ops/sharded_attention.py). Requires seq*K "
+                    "divisible by N; incompatible with --flash and --tp>1. "
+                    "Zeroes attention-PROB dropout.")
     _common_train_flags(sp, 64, 50, 5e-5)
 
     sp = sub.add_parser("joint")
@@ -183,6 +215,21 @@ def main(argv=None) -> int:
     sp.add_argument("--output", required=True, help="output .pth path")
     sp.add_argument("--stage", choices=["item", "user", "mwne"],
                     default="item")
+
+    sp = sub.add_parser(
+        "export-pretrained",
+        help="export a joint-stage checkpoint as the reference's "
+             "save_pretrained directory (PEFT adapter + qformer_model.bin "
+             "+ model_config.json + tokenizer files, "
+             "train_item_individual_token_joint.py:183-200)",
+    )
+    sp.add_argument("--checkpoint", required=True,
+                    help="orbax joint checkpoint dir (from `train joint "
+                         "--checkpoint-dir`)")
+    sp.add_argument("--output", required=True, help="output directory")
+    sp.add_argument("--tokenizer", default=None,
+                    help="HF tokenizer path to copy into the directory "
+                         "(optional; zero-egress hosts may not have one)")
 
     args = p.parse_args(argv)
     return _dispatch(args)
@@ -340,7 +387,8 @@ def _dispatch(args) -> int:
                 learning_rate=args.learning_rate,
                 gradient_accumulation_steps=args.grad_accum,
             ),
-            mesh=MeshConfig(dp=args.dp, tp=args.tp),
+            mesh=MeshConfig(dp=args.dp, tp=args.tp,
+                            sp=getattr(args, "sp", 1)),
         )
         model = ItemQFormer(inf.config)
         from unirec_tpu.configs import UserQFormerConfig
@@ -350,6 +398,7 @@ def _dispatch(args) -> int:
             input_embedding_dim=inf.config.hidden_size,
             gradient_checkpointing=getattr(args, "remat", False),
             flash_training=getattr(args, "flash", False),
+            sequence_parallel=getattr(args, "sp", 1) > 1,
             dropout=0.0 if getattr(args, "flash", False) else 0.1,
         )
         _, metrics = train_user_qformer(
@@ -382,6 +431,39 @@ def _dispatch(args) -> int:
             model, inf.params, cache, batch_size=args.batch_size
         )
         print(json.dumps(res, indent=2))
+        return 0
+
+    if args.cmd == "export-pretrained":
+        from unirec_tpu.configs import Qwen3Config
+        from unirec_tpu.utils.checkpoint import load_checkpoint, read_meta
+        from unirec_tpu.utils.torch_convert import save_pretrained_directory
+
+        candidates = [
+            os.path.join(args.checkpoint, "latest_model"),
+            os.path.join(args.checkpoint, "best_model"),
+            args.checkpoint,
+        ]
+        cand = next(
+            (c for c in candidates
+             if os.path.exists(os.path.join(c, "state"))), None)
+        if cand is None:
+            print(f"error: no checkpoint under {args.checkpoint}",
+                  file=sys.stderr)
+            return 2
+        meta = read_meta(cand)
+        qwen_cfg = _cfg_from_meta(meta, "qwen_config", Qwen3Config)
+        qf_cfg = _cfg_from_meta(meta, "qformer_config", ItemQFormerConfig)
+        tree, _ = load_checkpoint(cand)
+        tokenizer = None
+        if args.tokenizer:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+        save_pretrained_directory(
+            args.output, tree["params"], qwen_cfg, qf_cfg,
+            tokenizer=tokenizer,
+        )
+        print(f"wrote reference save_pretrained layout -> {args.output}")
         return 0
 
     if args.cmd == "export-pth":
@@ -552,6 +634,12 @@ def _run_joint(args) -> int:
         ]
         for cand in candidates:
             if os.path.exists(os.path.join(cand, "state")):
+                from unirec_tpu.utils.checkpoint import (
+                    check_grad_accum,
+                    read_meta,
+                )
+
+                check_grad_accum(read_meta(cand), args.grad_accum)
                 try:
                     state, meta = restore_train_state(cand, state)
                 except Exception:
@@ -596,7 +684,9 @@ def _run_joint(args) -> int:
         strategy=args.save_strategy,
         eval_steps=args.eval_every_steps,
         save_fn=lambda path, st: save_checkpoint(
-            path, st, config=jc, extra={"mrr": tracker.best}
+            path, st, config=jc,
+            extra={"mrr": tracker.best, "grad_accum": args.grad_accum,
+                   **_joint_cfg_meta(qwen_cfg, inf.config)},
         ),
     )
     if best_mrr > tracker.best:
@@ -659,7 +749,12 @@ def _run_joint_pp(args, trainer, state, train_ds, val_ds, jc, best_mrr) -> int:
             # the hook already passes GLOBAL steps to tracker.update
             step=tracker.last_eval_step,
         )
-        save_checkpoint(path, shim, config=jc, extra={"mrr": tracker.best})
+        save_checkpoint(path, shim, config=jc,
+                        extra={"mrr": tracker.best,
+                               "grad_accum": args.grad_accum,
+                               **_joint_cfg_meta(
+                                   ptrainer.trainer.qwen_config,
+                                   ptrainer.trainer.qformer_config)})
 
     tracker = BestMetricTracker(
         args.checkpoint_dir, metric="mrr", strategy=args.save_strategy,
