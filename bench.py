@@ -47,8 +47,11 @@ def bench_item_token_generation(
 ) -> float:
     # QFormerInference's TPU path: the fused Pallas block engine
     # (inference/fused_qformer.py) over bf16 weights — one kernel per
-    # attention block + a chunked FFN kernel.  Round 2: 13.3k items/s = 66% MFU
-    # (XLA fast path was 7.1k = 35%).
+    # attention block + a chunked FFN kernel.  Round 2: 13.3k items/s
+    # (XLA fast path was 7.1k).  FLOP basis (round-6 audit,
+    # scripts/flop_audit.py): 10.88 GFLOP/item analytic -> bf16 engine
+    # ~145 TFLOP/s effective = 74% of the 197 TFLOP/s datasheet peak;
+    # int8 ~210 TOP/s = 53% of 394 TOPS.
     from unirec_tpu.inference.fused_qformer import (
         fused_qformer_forward,
         prepare_fused_params,
