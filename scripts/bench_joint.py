@@ -36,6 +36,9 @@ def main():
     p.add_argument("--flash-vjp", action="store_true",
                    help="trainable flash causal self-attention "
                         "(ops/flash_causal_vjp.py)")
+    p.add_argument("--int8-base", action="store_true",
+                   help="QLoRA-style W8A8 frozen-base training forward "
+                        "(ops/int8_ste.py)")
     args = p.parse_args()
 
     from unirec_tpu.configs import (
@@ -65,6 +68,7 @@ def main():
         remat_policy=args.policy if (args.remat and args.policy != "none")
         else None,
         bf16_base=args.bf16_base and args.bf16,
+        int8_base=args.int8_base,
     )
     t0 = time.time()
     state = trainer.init_state()
@@ -107,7 +111,7 @@ def main():
     print(
         f"RESULT batch={b} seq={l} remat={args.remat} policy={args.policy} "
         f"bf16={args.bf16} bf16_base={args.bf16_base} "
-        f"flash_vjp={args.flash_vjp} "
+        f"flash_vjp={args.flash_vjp} int8_base={args.int8_base} "
         f"ms_per_step={dt*1000:.1f} samples_per_s={b/dt:.1f} "
         f"loss={loss:.4f}",
         flush=True,

@@ -96,3 +96,31 @@ def test_int8_linear_kernel_matches_xla_dot():
     assert (err <= 130 * level + 1e-6).all()
     c = np.corrcoef(np.asarray(got).ravel(), want.ravel())[0, 1]
     assert c > 0.9999
+
+
+def test_int8_ste_forward_and_gradient():
+    """ops/int8_ste.int8_linear_ste: forward equals the inference int8
+    formula exactly; backward is the straight-through gradient through the
+    dequantized weight (dx = g @ (kq*ks)^T), with no weight tangent."""
+    import jax
+    import jax.numpy as jnp
+
+    from unirec_tpu.ops.int8_ste import _fwd_math, int8_linear_ste
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    w = rng.randn(8, 6).astype(np.float32) * 0.1
+    col = np.maximum(np.abs(w).max(axis=0), 1e-8)
+    ks = jnp.asarray((col / 127.0).astype(np.float32))
+    kq = jnp.asarray(
+        np.clip(np.round(w / (col / 127.0)), -127, 127).astype(np.int8))
+
+    y = int8_linear_ste(x, kq, ks)
+    np.testing.assert_array_equal(np.asarray(y),
+                                  np.asarray(_fwd_math(x, kq, ks)))
+
+    g = jnp.asarray(rng.randn(4, 6).astype(np.float32))
+    dx = jax.grad(lambda x: (int8_linear_ste(x, kq, ks) * g).sum())(x)
+    w_eff = np.asarray(kq, np.float32) * np.asarray(ks)[None, :]
+    np.testing.assert_allclose(
+        np.asarray(dx), np.asarray(g) @ w_eff.T, atol=1e-6)

@@ -194,6 +194,12 @@ def main(argv=None) -> int:
                     "probs never reach HBM — frees ~1.9 GB at batch 8/seq "
                     "512 under --no-remat at the cost of score recompute "
                     "in the backward (measure per config, BASELINE.md)")
+    sp.add_argument("--int8-base", action="store_true",
+                    help="QLoRA-style quantized-base training: the frozen "
+                    "Qwen3 projections run W8A8 in the training forward "
+                    "(2x MXU issue rate) with an STE backward "
+                    "(ops/int8_ste.py); LoRA/Q-Former grads stay exact. "
+                    "Opt-in: changes training numerics like QLoRA does.")
     sp.add_argument("--tiny", action="store_true",
                     help="2-layer Qwen3 (hidden 1024) for smoke tests / CPU")
     _common_train_flags(sp, 16, 500, 1e-4)
@@ -607,6 +613,7 @@ def _run_joint(args) -> int:
         remat=remat,
         remat_policy="dots",  # keep GEMM outputs: 574 vs 665 ms/step measured
         bf16_base=bf16_base and args.bf16,
+        int8_base=getattr(args, "int8_base", False),
     )
 
     qwen_params = None
@@ -669,6 +676,11 @@ def _run_joint(args) -> int:
             print("error: --pp is incompatible with --flash-vjp (the pp "
                   "schedule drives layers with additive biases)",
                   file=sys.stderr)
+            return 2
+        if getattr(args, "int8_base", False):
+            print("error: --pp is incompatible with --int8-base (the pp "
+                  "layout stacks layer params; the qweights tree is not "
+                  "stacked)", file=sys.stderr)
             return 2
         return _run_joint_pp(args, trainer, state, train_ds, val_ds, jc,
                              best_mrr)

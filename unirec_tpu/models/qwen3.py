@@ -96,39 +96,17 @@ class LoRADense(nn.Module):
             # quantize_qwen3_weights + apply({"params": p, "qweights": qw}).
             kq = self.get_variable("qweights", "kernel_q")
             ks = self.get_variable("qweights", "kernel_scale")  # [features]
-            rows = 1
-            for d in x.shape[:-1]:
-                rows *= d
-            from unirec_tpu.ops.int8_matmul import (
-                int8_linear,
-                supports_int8_linear,
-            )
+            from unirec_tpu.ops.int8_ste import int8_linear_ste
 
-            if (
-                jax.default_backend() == "tpu"
-                and supports_int8_linear(rows, in_dim, self.features)
-            ):
-                # fused Pallas quant+matmul+dequant: the XLA int8 dot at
-                # >=16k rows/chip is pathological (37.2 vs 79.0 users/s at
-                # serving batch 32 — BASELINE.md round 3); the kernel style
-                # measured ~176 TOP/s (ops/fused_qformer_int8.py)
-                y = int8_linear(
-                    x.reshape(rows, in_dim), kq, ks, out_dtype=self.dtype
-                ).reshape(*x.shape[:-1], self.features)
-            else:
-                x32 = x.astype(jnp.float32)
-                absmax = jnp.maximum(
-                    jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-6
-                )
-                rs = absmax / 127.0
-                xq = jnp.clip(jnp.round(x32 / rs), -127, 127).astype(jnp.int8)
-                acc = jax.lax.dot_general(
-                    xq, kq, (((x.ndim - 1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                y = (
-                    acc.astype(jnp.float32) * rs * ks.astype(jnp.float32)
-                ).astype(self.dtype)
+            # Dispatch inside: the fused Pallas quant+matmul+dequant kernel
+            # at >=16k rows/chip (where the XLA int8 dot is pathological —
+            # 37.2 vs 79.0 users/s at serving batch 32, BASELINE.md round
+            # 3), the XLA dot below that.  custom-VJP STE backward makes
+            # the quantized base TRAINABLE-around (QLoRA-style --int8-base
+            # joint training); inference numerics unchanged.
+            y = int8_linear_ste(
+                x.astype(self.dtype), kq, ks.reshape(-1)
+            ).astype(self.dtype)
         else:
             y = jnp.dot(x, kernel.astype(self.dtype))
         if self.use_bias:

@@ -105,23 +105,31 @@ def data_parallel_jit(step_fn, mesh: Mesh, donate_state: bool = True):
 
 
 def mixed_parallel_jit(
-    step_fn, mesh: Mesh, state_shardings, donate_state: bool = True
+    step_fn, mesh: Mesh, state_shardings, donate_state: bool = True,
+    n_extra_replicated: int = 0,
 ):
     """Like data_parallel_jit but with an explicit sharding tree for the train
     state (e.g. Qwen3 kernels tensor-sharded over 'tp' via
     models/qwen3.tp_shardings, everything else replicated).  Under GSPMD the
-    matching activation shardings and all-reduces are inferred."""
+    matching activation shardings and all-reduces are inferred.
+
+    ``n_extra_replicated``: trailing replicated-pytree args after (state,
+    batch) — e.g. the frozen int8 qweights tree, which must ride as a jit
+    ARGUMENT (closure capture would bake it into the executable as
+    constants — CLAUDE.md / serving/recommender.py)."""
     batch_sh = batch_sharding(mesh)
     metrics_sh = replicated(mesh)
     return jax.jit(
         step_fn,
-        in_shardings=(state_shardings, batch_sh),
+        in_shardings=(state_shardings, batch_sh)
+        + (metrics_sh,) * n_extra_replicated,
         out_shardings=(state_shardings, metrics_sh),
         donate_argnums=(0,) if donate_state else (),
     )
 
 
-def dp_shard_map_jit(step_fn, mesh: Mesh, donate_state: bool = True):
+def dp_shard_map_jit(step_fn, mesh: Mesh, donate_state: bool = True,
+                     n_extra_replicated: int = 0):
     """jit an explicitly dp-mapped (state, batch) -> (state, metrics) step.
 
     GSPMD cannot partition ``pallas_call`` — under ``mixed_parallel_jit`` a
@@ -135,7 +143,7 @@ def dp_shard_map_jit(step_fn, mesh: Mesh, donate_state: bool = True):
     mapped = jax.shard_map(
         step_fn,
         mesh=mesh,
-        in_specs=(P(), P(DP_AXIS)),
+        in_specs=(P(), P(DP_AXIS)) + (P(),) * n_extra_replicated,
         out_specs=(P(), P()),
         check_vma=False,  # pmean-ed outputs are replicated; skip the proof
     )

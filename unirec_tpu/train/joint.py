@@ -222,6 +222,7 @@ def make_joint_train_step(
     return_grads: bool = False,
     seed: int = 1,
     axis_name: Optional[str] = None,
+    with_qweights: bool = False,
 ):
     """Build the (state, batch) -> (state, metrics) step.
 
@@ -230,9 +231,14 @@ def make_joint_train_step(
     the dp split is explicit).  The loss is a per-sample mean over
     per-sample candidate pools, so ``pmean`` of per-shard (loss, grads)
     is exactly the full-batch step.
+
+    ``with_qweights``: the step takes a third arg — the frozen base's int8
+    ``qweights`` collection — and the forward runs the base's projections
+    W8A8 with an STE backward (``ops/int8_ste``): QLoRA-style training
+    (`--int8-base`).  LoRA/Q-Former stay full precision and exact.
     """
 
-    def step(state: TrainState, batch):
+    def step(state: TrainState, batch, qweights=None):
         # rbg dropout bits: the threefry2x32 bit generator costs ~60 ms per
         # step at batch 8/seq 512 on v5e (28 layers of [B,L,*] masks);
         # the hardware rng path measured 192.6 -> 120.1 ms for the same
@@ -257,8 +263,11 @@ def make_joint_train_step(
                 lambda p, t: p if t else jax.lax.stop_gradient(p),
                 params, mask,
             )
+            variables = {"params": params}
+            if with_qweights:
+                variables["qweights"] = qweights
             user_emb = model.apply(
-                {"params": params},
+                variables,
                 batch["input_ids"],
                 batch["attention_mask"],
                 batch["history_field_embeddings"],
@@ -326,6 +335,13 @@ class JointTrainer:
     # numerically free under dtype="bfloat16" (kernels are cast to bf16 at
     # use anyway), halves frozen-param HBM so bigger batches / no-remat fit.
     bf16_base: bool = False
+    # QLoRA-style quantized-base training (`train joint --int8-base`): the
+    # frozen Qwen3 projections run W8A8 in the TRAINING forward (2x MXU
+    # issue rate) with an STE backward (ops/int8_ste); LoRA adapts around
+    # the quantized base exactly as QLoRA does around nf4.  LoRA/Q-Former
+    # grads stay full-precision exact.  Changes training numerics (opt-in);
+    # eval forwards stay full precision.
+    int8_base: bool = False
 
     def __post_init__(self):
         if self.bf16_base and self.dtype != "bfloat16":
@@ -358,15 +374,29 @@ class JointTrainer:
         self._flash_dp = (
             self.qwen_config.flash_vjp_attention and self.dp_size > 1
         )
+        # int8_base forwards can hit the Pallas int8 matmul at >=16k
+        # activation rows (ops/int8_matmul._MIN_ROWS): same GSPMD
+        # constraint, same remedy — dp runs through the explicit shard_map
+        # so the kernel only ever sees per-shard shapes.
+        self._kernel_dp = self._flash_dp or (
+            self.int8_base and self.dp_size > 1
+        )
         if self.qwen_config.flash_vjp_attention and self.tp_size > 1:
             raise ValueError(
                 "flash_vjp_attention is incompatible with tp>1: the kernel "
                 "is opaque to GSPMD and has no in-kernel collectives; use "
                 "dp-only meshes (shard_map path) or the XLA attention"
             )
+        if self.int8_base and self.tp_size > 1:
+            raise ValueError(
+                "int8_base is incompatible with tp>1 (the int8 qweights "
+                "tree has no tp sharding rules); use dp-only meshes"
+            )
+        self.qweights = None  # built in init_state when int8_base
         self._raw_step = make_joint_train_step(
             self.model, seed=self.train_config.seed,
-            axis_name=DP_AXIS if self._flash_dp else None,
+            axis_name=DP_AXIS if self._kernel_dp else None,
+            with_qweights=self.int8_base,
         )
         self._train_step = None  # jitted lazily once state shardings exist
         self._state_shardings = None
@@ -448,7 +478,29 @@ class JointTrainer:
             shard_like,
         )
 
-        if self._flash_dp:
+        if self.int8_base:
+            from unirec_tpu.models.qwen3 import quantize_qwen3_weights
+            from unirec_tpu.parallel.mesh import replicate
+
+            self.qweights = {
+                "base_model": quantize_qwen3_weights(params["base_model"])
+            }
+            self.qweights = replicate(self.mesh, self.qweights)
+            if self._kernel_dp:
+                jitted = dp_shard_map_jit(
+                    self._raw_step, self.mesh, n_extra_replicated=1)
+            else:
+                jitted = mixed_parallel_jit(
+                    self._raw_step, self.mesh, self._state_shardings,
+                    n_extra_replicated=1,
+                )
+            # qweights ride as a runtime jit ARG on every call (closure
+            # capture would bake the int8 tree into the executable as
+            # constants); the (state, batch) driver interface is preserved
+            self._train_step = (
+                lambda s, b: jitted(s, b, self.qweights)
+            )
+        elif self._flash_dp:
             self._train_step = dp_shard_map_jit(self._raw_step, self.mesh)
         else:
             self._train_step = mixed_parallel_jit(
