@@ -78,6 +78,7 @@ from unirec_tpu.utils.torch_convert import (  # noqa: E402
 
 HIDDEN, LAYERS, HEADS, FFN, WIDTH, F = 64, 2, 4, 128, 48, 6
 N_ITEMS, N_USERS, LATENT = 240, 160, 16
+K_ITEM = 8  # item-stage query tokens (production: 32 — `--scaled`)
 VOCAB = 128
 
 
@@ -142,14 +143,14 @@ def item_stage(cache, users, fields, masks, steps=400, batch=64, lr=1e-3,
     cfg = ItemQFormerConfig(
         hidden_size=HIDDEN, num_hidden_layers=LAYERS,
         num_attention_heads=HEADS, intermediate_size=FFN,
-        num_query_tokens=8, field_embedding_dim=WIDTH, num_fields=F,
+        num_query_tokens=K_ITEM, field_embedding_dim=WIDTH, num_fields=F,
         dropout=0.0,
     )
     torch.manual_seed(seed)
     tmodel = QFormerForItemRepresentation(
         hidden_size=HIDDEN, num_hidden_layers=LAYERS,
         num_attention_heads=HEADS, intermediate_size=FFN,
-        num_query_tokens=8, field_embedding_dim=WIDTH, num_fields=F,
+        num_query_tokens=K_ITEM, field_embedding_dim=WIDTH, num_fields=F,
         dropout=0.0,
     )
     tmodel.train()
@@ -550,12 +551,30 @@ def joint_stage(cache, emb_dict, item_dict, users, steps=800, batch=8,
 
 
 def main():
+    import argparse
+
+    global N_ITEMS, N_USERS, F, K_ITEM
+
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--scaled", action="store_true",
+        help="VERDICT r2 next #9: one notch up — 2k items / 1k users, the "
+        "production field count (F=14) and item query-token count (K=32); "
+        "step counts scaled with the corpus.  ~10x the default's runtime "
+        "on this 1-core host (the torch reference side dominates).",
+    )
+    args = p.parse_args()
+    steps = {"item": 400, "user": 300, "joint": 800}
+    if args.scaled:
+        N_ITEMS, N_USERS, F, K_ITEM = 2000, 1000, 14, 32
+        steps = {"item": 1200, "user": 600, "joint": 1600}
+
     cache, emb_dict, item_dict, users, fields, masks = make_corpus()
-    r1 = item_stage(cache, users, fields, masks)
+    r1 = item_stage(cache, users, fields, masks, steps=steps["item"])
     print(json.dumps(r1), flush=True)
-    r15 = user_stage(users, fields, masks)
+    r15 = user_stage(users, fields, masks, steps=steps["user"])
     print(json.dumps(r15), flush=True)
-    r2 = joint_stage(cache, emb_dict, item_dict, users)
+    r2 = joint_stage(cache, emb_dict, item_dict, users, steps=steps["joint"])
     print(json.dumps(r2), flush=True)
 
 
