@@ -32,16 +32,25 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from unirec_tpu.ops.fused_qformer_layer import _layer_norm_rows, _row2d
+from unirec_tpu.ops.fused_qformer_layer import (
+    _block_diag_bias,
+    _group_attention,
+    _group_items,
+    _layer_norm_rows,
+    _row2d,
+)
 
 NEG_INF = -1e9
 # Tile-size audit (round 2, production config D=1024/FFN 4096/K=32/F=14):
 # with the input tile cached as an int8 scratch (instead of the earlier
 # fp32 re-quant per chunk), 512-row tiles now COMPILE and WIN for the FFN
-# (8.44 vs 9.13 ms) and the cross block (7.43 vs 7.58); the SELF block
-# still overflows scoped VMEM at 512 (its [T, 3D] qkv intermediate) — 256
-# stands there.
-_TILE_ROWS = 256          # self block
+# (8.44 vs 9.13 ms) and the cross block (7.43 vs 7.58).  Round-7 update:
+# the SELF block moves to 512 too — its [T, 3D] qkv intermediate needed
+# the scoped-VMEM limit raised (48 MB; v5e has 128 MB physical), and the
+# Mosaic matmul bench showed the 256-row [256,1024]x[1024,1024]
+# out-projection shape is pathological (36.7 TOP/s vs 142+ at 512 rows);
+# measured block time 7.12 -> 6.46 ms (scripts/profile_int8_blocks.py).
+_TILE_ROWS = 512          # self block
 _CROSS_TILE_ROWS = 512
 _FFN_TILE_ROWS = 512
 
@@ -62,8 +71,10 @@ def _row_quant(x32):
     )
     rscale = absmax / 127.0
     # divide per ROW (127/absmax), broadcast-multiply over D columns —
-    # x32 / rscale was a [T, D] fp32 divide (multi-op per lane on the VPU)
-    q = jnp.clip(jnp.round(x32 * (127.0 / absmax)), -127, 127).astype(jnp.int8)
+    # x32 / rscale was a [T, D] fp32 divide (multi-op per lane on the VPU).
+    # No clip pass: |x| <= absmax so |x * fl(127/absmax)| <= 127*(1+eps)^2
+    # < 127.5, which rounds to at most +-127 — round-6 VPU diet.
+    q = jnp.round(x32 * (127.0 / absmax)).astype(jnp.int8)
     return q, rscale
 
 
@@ -95,7 +106,6 @@ def _self_block_kernel_q(
     ln_eps: float,
 ):
     t, d = x_ref.shape
-    hd = d // num_heads
     x = x_ref[...]
     x_q, rs = _row_quant(x.astype(jnp.float32))
     qkv = (
@@ -103,31 +113,18 @@ def _self_block_kernel_q(
         + bqkv_ref[...].astype(jnp.float32)
     ).astype(jnp.bfloat16)  # [T, 3D]
 
-    qi = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0) // n_q
-    ki = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) // n_q
-    block_bias = jnp.where(qi == ki, 0.0, NEG_INF).astype(jnp.float32)
-
-    for h in range(num_heads):
-        q = qkv[:, h * hd : (h + 1) * hd]
-        k = qkv[:, d + h * hd : d + (h + 1) * hd]
-        v = qkv[:, 2 * d + h * hd : 2 * d + (h + 1) * hd]
-        s = (
-            jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * sm_scale
-            + block_bias
-        )
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        # divide [T,1] once, broadcast-multiply (VPU: divide is multi-op)
-        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
-        c = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ctx_ref[:, h * hd : (h + 1) * hd] = c.astype(ctx_ref.dtype)
+    # lane-packed groups: softmax/exp area shrinks from [T, T] to
+    # n_g x [g, g] (2x at the production tile) — see _group_attention
+    items = t // n_q
+    p_g = _group_items(items, n_q)
+    n_g = items // p_g
+    g = p_g * n_q
+    bias = jnp.broadcast_to(
+        _block_diag_bias(g, g, n_q, n_q, NEG_INF)[None], (n_g, g, g)
+    )
+    _group_attention(
+        qkv[:, :d], qkv[:, d:], d, bias, num_heads, ctx_ref, sm_scale
+    )
 
     c_q, crs = _row_quant(ctx_ref[...].astype(jnp.float32))
     out = _mm_q(c_q, crs, wo_ref, so_ref) + bo_ref[...].astype(jnp.float32)
@@ -158,8 +155,6 @@ def _cross_block_kernel_q(
     ln_eps: float,
 ):
     t, d = x_ref.shape
-    t_m = mem_ref.shape[0]
-    hd = d // num_heads
     x = x_ref[...]
     x_q, xrs = _row_quant(x.astype(jnp.float32))
     q_all = (
@@ -170,35 +165,19 @@ def _cross_block_kernel_q(
         _mm_q(m_q, mrs, wkv_ref, skv_ref) + bkv_ref[...].astype(jnp.float32)
     ).astype(jnp.bfloat16)  # [T_m, 2D]
 
-    qi = jax.lax.broadcasted_iota(jnp.int32, (t, t_m), 0) // n_q
-    ki = jax.lax.broadcasted_iota(jnp.int32, (t, t_m), 1) // n_kv
-    # cross-item block mask strictly below the key mask (-2e9 < -1e9) so
-    # all-masked items stay within their own block (see
-    # fused_qformer_layer.py)
-    bias = jnp.where(qi == ki, 0.0, 2.0 * NEG_INF).astype(jnp.float32)
-    bias = bias + kbias_ref[0].astype(jnp.float32)
-
-    for h in range(num_heads):
-        q = q_all[:, h * hd : (h + 1) * hd]
-        k = kv[:, h * hd : (h + 1) * hd]
-        v = kv[:, d + h * hd : d + (h + 1) * hd]
-        s = (
-            jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * sm_scale
-            + bias
-        )
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        # divide [T,1] once, broadcast-multiply (VPU: divide is multi-op)
-        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
-        c = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ctx_ref[:, h * hd : (h + 1) * hd] = c.astype(ctx_ref.dtype)
+    # lane-packed groups over [T, T_m]; cross-item block mask strictly
+    # below the key mask (-2e9 < -1e9) so all-masked items stay within
+    # their own block (see fused_qformer_layer.py).  The key bias arrives
+    # pre-grouped [n_g, 1, g_keys] from the wrapper — Mosaic cannot
+    # reshape across the lane dim in-kernel (224 -> 2x112 rejected).
+    n_g, g_keys = kbias_ref.shape[1], kbias_ref.shape[3]
+    p_g = g_keys // n_kv
+    g_rows = p_g * n_q
+    bias = (
+        _block_diag_bias(g_rows, g_keys, n_q, n_kv, 2.0 * NEG_INF)[None]
+        + kbias_ref[0].astype(jnp.float32)
+    )
+    _group_attention(q_all, kv, d, bias, num_heads, ctx_ref, sm_scale)
 
     c_q, crs = _row_quant(ctx_ref[...].astype(jnp.float32))
     out = _mm_q(c_q, crs, wo_ref, so_ref) + bo_ref[...].astype(jnp.float32)
@@ -273,20 +252,28 @@ def _ffn_kernel_q(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "n_q", "ln_eps", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "n_q", "ln_eps", "interpret", "tile_rows"),
 )
 def fused_self_attention_block_q(
     x, wqkv_q, sqkv, bqkv, wo_q, so, bo, ln_gamma, ln_beta,
     *, num_heads: int, n_q: int, ln_eps: float = 1e-12,
-    interpret: bool = False,
+    interpret: bool = False, tile_rows: int = None,
 ):
-    """Int8 LayerNorm(x + W_o·SelfAttn(x)); x [B, K, D]."""
+    """Int8 LayerNorm(x + W_o·SelfAttn(x)); x [B, K, D].
+
+    ``tile_rows`` overrides the 256-row default (with the scoped-VMEM limit
+    raised to fit): the Mosaic matmul bench (BASELINE.md round 6) measured
+    the [256,1024]x[1024,1024] int8 out-projection shape at a pathological
+    36.7 TOP/s vs 142+ at 512 rows — bigger tiles amortize the per-step
+    MXU pipeline latency."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, k, d = x.shape
     assert k == n_q and d % num_heads == 0
-    tile = _TILE_ROWS if _TILE_ROWS % n_q == 0 else n_q
+    rows_cfg = tile_rows or _TILE_ROWS
+    tile = rows_cfg if rows_cfg % n_q == 0 else n_q
     rows = b * k
     pad_rows = (-rows) % tile
     xf = x.reshape(rows, d)
@@ -321,6 +308,11 @@ def fused_self_attention_block_q(
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((tile, d), jnp.bfloat16)],
+        # [tile, 3D] int32 qkv accumulator dominates; 512-row tiles need
+        # the scoped limit above the 16MB default (v5e: 128MB physical)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
         interpret=interpret,
     )(xf, wqkv_q, _row2d(sqkv), _row2d(bqkv), wo_q, _row2d(so), _row2d(bo),
       _row2d(ln_gamma), _row2d(ln_beta))
@@ -365,7 +357,10 @@ def fused_cross_attention_block_q(
     n_tiles = bp // p_items
     xf = x.reshape(bp * k, d)
     memf = mem.reshape(bp * f, dm)
-    kbias = key_bias.reshape(n_tiles, 1, p_items * f)
+    # pre-grouped for _group_attention: [tiles, n_g, 1, g_keys]
+    p_g = _group_items(p_items, n_kv)
+    n_g = p_items // p_g
+    kbias = key_bias.reshape(n_tiles, n_g, 1, p_g * f)
 
     kernel = functools.partial(
         _cross_block_kernel_q,
@@ -396,7 +391,7 @@ def fused_cross_attention_block_q(
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 1, p_items * f), lambda i: (i, 0, 0),
+                (1, n_g, 1, p_g * f), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -405,6 +400,13 @@ def fused_cross_attention_block_q(
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((tile, d), jnp.bfloat16)],
+        # the 512-row tile with grouped attention sits ~2% over the 16MB
+        # scoped-VMEM default (group temporaries pad 112->128 lanes);
+        # v5e has 128MB physical VMEM — raise the scoped limit instead of
+        # shrinking the tile (256-row tiles measured 2% slower, round 2)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024
+        ),
         interpret=interpret,
     )(xf, memf, wq_q, _row2d(sq), _row2d(bq), wkv_q, _row2d(skv),
       _row2d(bkv), wo_q, _row2d(so), _row2d(bo), _row2d(ln_gamma),

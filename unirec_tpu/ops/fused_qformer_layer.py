@@ -53,6 +53,65 @@ def _layer_norm_rows(x32, gamma, beta, eps):
     return xc * jax.lax.rsqrt(var + eps) * gamma + beta
 
 
+def _group_items(items: int, keys_per_item: int, target: int = 128) -> int:
+    """Items per attention group: the largest divisor of ``items`` whose
+    packed key rows fit in ``target`` lanes (always >= 1).  Chosen at trace
+    time — all shapes static under jit."""
+    cap = max(target // keys_per_item, 1)
+    p = 1
+    for c in range(1, min(items, cap) + 1):
+        if items % c == 0:
+            p = c
+    return p
+
+
+def _group_attention(q_all, kv, v_off, bias, num_heads, out_ref, sm_scale):
+    """Lane-packed block-diagonal attention into ``out_ref`` (the ctx
+    scratch).
+
+    ``q_all`` [T, D], ``kv`` [T_m, D_kv] with keys at
+    column 0 and values at ``v_off``; both are reshaped per head into
+    GROUPS — [n_g, g_rows, hd] x [n_g, g_keys, hd] batched ``dot_general``s
+    — so softmax runs on [n_g, g_rows, g_keys] instead of the full-tile
+    [T, T_m].  With g_keys = 128 lanes stay full while the exp/max/sum area
+    halves (the round-6 block profile measured the attention blocks at
+    26-36%% MXU efficiency — the gap was exactly this VPU area).  ``bias``
+    is [n_g, g_rows, g_keys] and carries the per-item block mask (and,
+    for cross, the key-validity mask).  The softmax normalizer is applied
+    AFTER the attention-value matmul — [.., g_rows, hd] is cheaper to scale
+    than [.., g_rows, g_keys].
+    """
+    t, d = q_all.shape
+    hd = d // num_heads
+    n_g = bias.shape[0]
+    for h in range(num_heads):
+        q = q_all[:, h * hd : (h + 1) * hd].reshape(n_g, -1, hd) * sm_scale
+        k = kv[:, h * hd : (h + 1) * hd].reshape(n_g, -1, hd)
+        v = kv[:, v_off + h * hd : v_off + (h + 1) * hd].reshape(n_g, -1, hd)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        c = jax.lax.dot_general(
+            e.astype(q_all.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        c = c * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
+        out_ref[:, h * hd : (h + 1) * hd] = c.reshape(t, hd).astype(
+            out_ref.dtype
+        )
+
+
+def _block_diag_bias(g_rows, g_keys, n_q, n_kv, neg):
+    """[g_rows, g_keys] additive bias: 0 where query row and key column
+    belong to the same item (row // n_q == col // n_kv), ``neg`` elsewhere."""
+    qi = jax.lax.broadcasted_iota(jnp.int32, (g_rows, g_keys), 0) // n_q
+    ki = jax.lax.broadcasted_iota(jnp.int32, (g_rows, g_keys), 1) // n_kv
+    return jnp.where(qi == ki, 0.0, neg).astype(jnp.float32)
+
+
 def _self_block_kernel(
     x_ref,       # [T, D] input rows (bf16/fp32)
     wqkv_ref,    # [D, 3D]
@@ -70,7 +129,6 @@ def _self_block_kernel(
     ln_eps: float,
 ):
     t, d = x_ref.shape
-    hd = d // num_heads
     x = x_ref[...]
     qkv = (
         jax.lax.dot_general(
@@ -80,32 +138,18 @@ def _self_block_kernel(
         + bqkv_ref[...].astype(jnp.float32)
     ).astype(x.dtype)  # [T, 3D]; bf16 mode halves VMEM so tile=256 fits
 
-    # static block-diagonal mask: rows are item-major, item = row // K
-    qi = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0) // n_q
-    ki = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1) // n_q
-    block_bias = jnp.where(qi == ki, 0.0, NEG_INF).astype(jnp.float32)
-
-    for h in range(num_heads):
-        q = qkv[:, h * hd : (h + 1) * hd]
-        k = qkv[:, d + h * hd : d + (h + 1) * hd]
-        v = qkv[:, 2 * d + h * hd : 2 * d + (h + 1) * hd]
-        s = (
-            jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * sm_scale
-            + block_bias
-        )
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        # divide [T,1] once, broadcast-multiply (VPU: divide is multi-op)
-        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
-        c = jax.lax.dot_general(
-            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [T, hd]
-        ctx_ref[:, h * hd : (h + 1) * hd] = c.astype(ctx_ref.dtype)
+    # lane-packed groups (rows are item-major, item = row // K): softmax/
+    # exp area shrinks from [T, T] to n_g x [g, g] — see _group_attention
+    items = t // n_q
+    p_g = _group_items(items, n_q)
+    n_g = items // p_g
+    g = p_g * n_q
+    bias = jnp.broadcast_to(
+        _block_diag_bias(g, g, n_q, n_q, NEG_INF)[None], (n_g, g, g)
+    )
+    _group_attention(
+        qkv[:, :d], qkv[:, d:], d, bias, num_heads, ctx_ref, sm_scale
+    )
 
     out = (
         jax.lax.dot_general(
@@ -145,8 +189,6 @@ def _cross_block_kernel(
     ln_eps: float,
 ):
     t, d = x_ref.shape
-    t_m = mem_ref.shape[0]
-    hd = d // num_heads
     x = x_ref[...]
     mem = mem_ref[...]
     q_all = (
@@ -164,36 +206,21 @@ def _cross_block_kernel(
         + bkv_ref[...].astype(jnp.float32)
     ).astype(x.dtype)  # [T_m, 2D]
 
-    qi = jax.lax.broadcasted_iota(jnp.int32, (t, t_m), 0) // n_q
-    ki = jax.lax.broadcasted_iota(jnp.int32, (t, t_m), 1) // n_kv
-    # cross-ITEM block mask strictly below the per-key mask (-2e9 < -1e9):
-    # for an item with ZERO valid fields, softmax then spreads uniformly
-    # over its OWN masked keys — matching the per-item XLA path — instead
-    # of leaking attention onto other items packed in the same tile
-    bias = jnp.where(qi == ki, 0.0, 2.0 * NEG_INF).astype(jnp.float32)
-    bias = bias + kbias_ref[0].astype(jnp.float32)  # [1, T_m] broadcast
-
-    for h in range(num_heads):
-        q = q_all[:, h * hd : (h + 1) * hd]
-        k = kv[:, h * hd : (h + 1) * hd]
-        v = kv[:, d + h * hd : d + (h + 1) * hd]
-        s = (
-            jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * sm_scale
-            + bias
-        )
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        # divide [T,1] once, broadcast-multiply (VPU: divide is multi-op)
-        p = e * (1.0 / jnp.sum(e, axis=-1, keepdims=True))
-        c = jax.lax.dot_general(
-            p.astype(x.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ctx_ref[:, h * hd : (h + 1) * hd] = c.astype(ctx_ref.dtype)
+    # lane-packed groups over [T, T_m]; cross-ITEM block mask strictly
+    # below the per-key mask (-2e9 < -1e9): for an item with ZERO valid
+    # fields, softmax then spreads uniformly over its OWN masked keys —
+    # matching the per-item XLA path — instead of leaking attention onto
+    # other items packed in the same tile.  The key bias arrives
+    # pre-grouped [n_g, 1, g_keys] from the wrapper — Mosaic cannot
+    # reshape across the lane dim in-kernel (224 -> 2x112 rejected).
+    n_g, g_keys = kbias_ref.shape[1], kbias_ref.shape[3]
+    p_g = g_keys // n_kv
+    g_rows = p_g * n_q
+    bias = (
+        _block_diag_bias(g_rows, g_keys, n_q, n_kv, 2.0 * NEG_INF)[None]
+        + kbias_ref[0].astype(jnp.float32)
+    )
+    _group_attention(q_all, kv, d, bias, num_heads, ctx_ref, sm_scale)
 
     out = (
         jax.lax.dot_general(
@@ -325,7 +352,10 @@ def fused_cross_attention_block(
     n_tiles = bp // p_items
     xf = x.reshape(bp * k, d)
     memf = mem.reshape(bp * f, dm)
-    kbias = key_bias.reshape(n_tiles, 1, p_items * f)
+    # pre-grouped for _group_attention: [tiles, n_g, 1, g_keys]
+    p_g = _group_items(p_items, n_kv)
+    n_g = p_items // p_g
+    kbias = key_bias.reshape(n_tiles, n_g, 1, p_g * f)
 
     kernel = functools.partial(
         _cross_block_kernel,
@@ -353,7 +383,7 @@ def fused_cross_attention_block(
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 1, p_items * f), lambda i: (i, 0, 0),
+                (1, n_g, 1, p_g * f), lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
