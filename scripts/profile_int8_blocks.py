@@ -168,7 +168,7 @@ def main():
     if "self" in only:
         results["self_q"] = bench(
             self_q, (x, wqkv_q, sqkv, bqkv, wo_q, so, bo, g, be),
-            args.steps, f"self int8 (tile {args.self_tile or 256})")
+            args.steps, f"self int8 (tile {args.self_tile or 512})")
     if "cross" in only:
         results["cross_q"] = bench(
             cross_q, (x, mem, key_bias, wq_q, sq, bq, wkv_q, skv, bkv,
