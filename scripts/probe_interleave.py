@@ -11,6 +11,11 @@ grid step with the phases manually interleaved (half B's matmuls are
 independent of half A's VPU work), giving Mosaic's static scheduler the
 freedom to overlap them.  If the interleaved variant approaches the
 matmul-only floor, it graduates into ops/fused_qformer_int8.py.
+
+VERDICT (measured, BASELINE.md round 7): it does NOT graduate — serial
+8.34 ms vs interleaved 8.86 ms on the same grant, numerics exactly equal.
+Mosaic's scheduler does not exploit the phase freedom, and the half-size
+matmul steps lose more than the overlap could gain.
 """
 
 import argparse
@@ -194,7 +199,7 @@ def main():
     base = jax.jit(lambda xx, *w: fused_self_attention_block_q(
         xx, *w, num_heads=HEADS, n_q=K).astype(jnp.float32).sum())
 
-    print("baseline (current library kernel, tile 256):", flush=True)
+    print("baseline (current library kernel, tile 512):", flush=True)
     bench(base, fargs, args.steps, "self int8 serial")
     print("interleaved (2x256 halves per 512-row step):", flush=True)
     bench(wrap, fargs, args.steps, "self int8 interleaved")
