@@ -17,6 +17,7 @@ PyTorch pipeline at the identical config measured on this host
 estimate (~3-5k items/s) for context.
 """
 
+import glob
 import json
 import os
 import sys
@@ -43,8 +44,9 @@ REFERENCE_ITEMS_PER_SEC = 9.8  # measured: reference torch pipeline, this host
 
 
 def bench_item_token_generation(
-    batch: int = 4096, iters: int = 5, precision: str = "bf16"
-) -> float:
+    batch: int = 4096, iters: int = 5, repeats: int = 3,
+    precision: str = "bf16",
+) -> dict:
     # QFormerInference's TPU path: the fused Pallas block engine
     # (inference/fused_qformer.py) over bf16 weights — one kernel per
     # attention block + a chunked FFN kernel.  Round 2: 13.3k items/s
@@ -75,12 +77,36 @@ def bench_item_token_generation(
     def fwd(fp, f, m):
         return fused_qformer_forward(fp, cfg, f, m).sum()
 
-    float(fwd(fused, fields, mask))  # warmup / compile
+    # Compile-cache state BEFORE the warmup compile: grant-to-grant chip
+    # variance plus cold-vs-warm compiles make single runs ambiguous
+    # (BASELINE.md: r1->r3 headline spread 18.1k-20.1k across days) — the
+    # JSON line is self-describing so readers can tell improvement from
+    # grant luck.
+    cache_entries = len(glob.glob(
+        os.path.join(os.environ["JAX_COMPILATION_CACHE_DIR"], "*")
+    ))
     t0 = time.time()
-    for _ in range(iters):
-        s = float(fwd(fused, fields, mask))  # full sync each iter
-    dt = (time.time() - t0) / iters
-    return batch / dt
+    float(fwd(fused, fields, mask))  # warmup / compile
+    warmup_s = time.time() - t0
+
+    # N independent repeats of `iters` synced iterations each; the median
+    # repeat is the headline, min/max bound same-session noise.
+    rates = []
+    for _ in range(repeats):
+        t0 = time.time()
+        for _ in range(iters):
+            float(fwd(fused, fields, mask))  # full sync each iter
+        rates.append(batch / ((time.time() - t0) / iters))
+    rates.sort()
+    return {
+        "value": rates[len(rates) // 2],
+        "min": rates[0],
+        "max": rates[-1],
+        "repeats": repeats,
+        "iters_per_repeat": iters,
+        "compile_cache_entries": cache_entries,
+        "warmup_s": round(warmup_s, 1),
+    }
 
 
 def main() -> None:
@@ -95,15 +121,24 @@ def main() -> None:
         sys.argv[1] if len(sys.argv) > 1
         else os.environ.get("BENCH_PRECISION", "int8")
     )
-    items_per_sec = bench_item_token_generation(precision=precision)
+    r = bench_item_token_generation(precision=precision)
     print(
         json.dumps(
             {
                 "metric": "item_query_tokens_per_sec_per_chip",
-                "value": round(items_per_sec, 1),
+                "value": round(r["value"], 1),
                 "unit": "items/s",
                 "precision": precision,
-                "vs_baseline": round(items_per_sec / REFERENCE_ITEMS_PER_SEC, 2),
+                "vs_baseline": round(r["value"] / REFERENCE_ITEMS_PER_SEC, 2),
+                # noise/self-description fields (median of N repeats is the
+                # headline; min/max bound same-session variance; cache state
+                # distinguishes cold-compile runs)
+                "min": round(r["min"], 1),
+                "max": round(r["max"], 1),
+                "repeats": r["repeats"],
+                "iters_per_repeat": r["iters_per_repeat"],
+                "compile_cache_entries": r["compile_cache_entries"],
+                "warmup_s": r["warmup_s"],
             }
         )
     )

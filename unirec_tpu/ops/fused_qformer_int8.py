@@ -262,11 +262,12 @@ def fused_self_attention_block_q(
 ):
     """Int8 LayerNorm(x + W_o·SelfAttn(x)); x [B, K, D].
 
-    ``tile_rows`` overrides the 256-row default (with the scoped-VMEM limit
-    raised to fit): the Mosaic matmul bench (BASELINE.md round 6) measured
-    the [256,1024]x[1024,1024] int8 out-projection shape at a pathological
-    36.7 TOP/s vs 142+ at 512 rows — bigger tiles amortize the per-step
-    MXU pipeline latency."""
+    ``tile_rows`` overrides the 512-row default (``_TILE_ROWS``; needs the
+    scoped-VMEM limit raised to 48 MB for its [T, 3D] qkv intermediate —
+    v5e has 128 MB physical): the Mosaic matmul bench (BASELINE.md round 6)
+    measured the [256,1024]x[1024,1024] int8 out-projection shape at a
+    pathological 36.7 TOP/s vs 142+ at 512 rows — bigger tiles amortize
+    the per-step MXU pipeline latency."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
