@@ -722,6 +722,11 @@ def _run_joint(args) -> int:
         state, train_ds, rng, num_steps=args.num_epochs * steps_per_epoch,
         step_hook=hook,
     )
+    # End-of-training: apply any pending micro-grad accumulation (HF Trainer
+    # parity — it never drops the tail of the last accumulation window).
+    from unirec_tpu.train.common import flush_grad_accum
+
+    state = flush_grad_accum(state, trainer.train_config.optimizer)
     final = trainer.evaluate(state, val_ds)
     print(f"final eval: {json.dumps(final)}; best MRR: {tracker.best:.4f}")
     if ml:

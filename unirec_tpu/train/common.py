@@ -43,17 +43,53 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         # batch exactly like HF's gradient_accumulation_steps (reference
         # train_item_individual_token_joint.py:758); intermediate micro-steps
         # emit zero updates (params unchanged until the k-th step).
-        # Known divergence from HF at epoch tails: the HF Trainer forces an
-        # optimizer apply on the last (possibly incomplete) accumulation of
-        # each epoch, while MultiSteps carries a partial accumulation across
-        # the epoch boundary and drops any pending micro-grads at the very
-        # end of training.  With the default drop_last batching, epochs are
-        # whole micro-batches, so at most k-1 micro-batches (< one effective
-        # batch) are deferred/dropped over the entire run.
+        # HF-parity note: the HF Trainer forces an optimizer apply on the
+        # last (possibly incomplete) accumulation of each epoch, while
+        # MultiSteps carries a partial accumulation across the epoch
+        # boundary.  The end-of-training tail is FLUSHED by the drivers via
+        # flush_grad_accum() below, so pending micro-grads always land;
+        # the remaining divergence is only that mid-run epoch boundaries
+        # defer (never drop) at most k-1 micro-batches to the next epoch.
         tx = optax.MultiSteps(
             tx, every_k_schedule=cfg.gradient_accumulation_steps
         )
     return tx
+
+
+def flush_grad_accum(state: TrainState, cfg: OptimizerConfig) -> TrainState:
+    """Force-apply any pending micro-gradient accumulation at end of training.
+
+    optax.MultiSteps holds the running MEAN of the micro-grads received since
+    the last apply in ``acc_grads`` (mini_step counts them).  When training
+    ends mid-accumulation (mini_step != 0) the HF Trainer semantics are to
+    apply that partial average (reference joint stage runs under HF Trainer,
+    train_item_individual_token_joint.py:755-773); this applies the inner
+    AdamW chain once on ``acc_grads`` and resets the MultiSteps counters.
+    No-op when grad accumulation is off or the accumulator is empty.
+    ``state.step`` is left unchanged: it counts micro-steps (data consumed),
+    and no new micro-batch is consumed by the flush.
+    """
+    import dataclasses
+
+    opt = state.opt_state
+    if not isinstance(opt, optax.MultiStepsState):
+        return state
+    if int(jax.device_get(opt.mini_step)) == 0:
+        return state
+    inner_tx = make_optimizer(
+        dataclasses.replace(cfg, gradient_accumulation_steps=1)
+    )
+    updates, new_inner = inner_tx.update(
+        opt.acc_grads, opt.inner_opt_state, state.params
+    )
+    new_params = optax.apply_updates(state.params, updates)
+    new_opt = opt._replace(
+        mini_step=jnp.zeros_like(opt.mini_step),
+        gradient_step=opt.gradient_step + 1,
+        inner_opt_state=new_inner,
+        acc_grads=jax.tree_util.tree_map(jnp.zeros_like, opt.acc_grads),
+    )
+    return state.replace(params=new_params, opt_state=new_opt)
 
 
 def epoch_batches(

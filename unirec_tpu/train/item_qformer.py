@@ -450,4 +450,7 @@ def train_item_qformer(
                 )
         else:
             last_metrics = train_metrics
+    from unirec_tpu.train.common import flush_grad_accum
+
+    state = flush_grad_accum(state, train_config.optimizer)
     return state, last_metrics

@@ -448,6 +448,9 @@ def train_user_qformer(
                            "grad_accum": train_config.optimizer
                            .gradient_accumulation_steps},
                 )
+    from unirec_tpu.train.common import flush_grad_accum
+
+    state = flush_grad_accum(state, train_config.optimizer)
     if val_samples:
         from unirec_tpu.eval.user_eval import evaluate_user_qformer
 
