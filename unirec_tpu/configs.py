@@ -150,6 +150,13 @@ class QFormerConfig:
     # inactive attention-prob dropout; hidden dropout stays in XLA and is
     # unaffected.  XLA path otherwise.
     fused_training: bool = False
+    # Introspection: sow per-layer attention probabilities as flax
+    # "intermediates" (functional equivalent of the reference's
+    # save_attention hooks, models/qformer.py:147-159).  Forces the plain
+    # XLA attention paths (fused/flash/fast kernels never materialize the
+    # probs).  Use utils.debug.capture_attention_maps rather than setting
+    # this directly.
+    capture_attention_probs: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -187,6 +194,8 @@ class ItemQFormerConfig:
     # probs in the backward) — hidden dropout keeps self.dropout; the same
     # tradeoff as the user stage's --flash (BASELINE.md round 3).
     fused_training: bool = False
+    # see QFormerConfig.capture_attention_probs
+    capture_attention_probs: bool = False
 
     def qformer(self) -> QFormerConfig:
         if self.fused_training and self.dropout > 0.0:
@@ -209,6 +218,7 @@ class ItemQFormerConfig:
             fast_attention=self.fast_attention,
             gradient_checkpointing=self.gradient_checkpointing,
             fused_training=self.fused_training,
+            capture_attention_probs=self.capture_attention_probs,
         )
 
 
@@ -251,6 +261,8 @@ class UserQFormerConfig:
     # kernel flags (probs never exist globally); incompatible with
     # flash/fused training (the kernels are single-device).
     sequence_parallel: bool = False
+    # see QFormerConfig.capture_attention_probs
+    capture_attention_probs: bool = False
 
     def qformer(self) -> QFormerConfig:
         # the trainable kernels only engage when the attention-prob dropout
@@ -279,6 +291,7 @@ class UserQFormerConfig:
             gradient_checkpointing=self.gradient_checkpointing,
             flash_training=self.flash_training,
             fused_training=self.fused_training,
+            capture_attention_probs=self.capture_attention_probs,
         )
 
 

@@ -159,7 +159,12 @@ class QFormerAttention(nn.Module):
             if (drop_rate > 0.0 and not deterministic)
             else None
         )
-        fast = cfg.fast_attention and deterministic
+        # Introspection (utils.debug.capture_attention_maps): force the
+        # plain XLA prob-materializing paths and sow the probs — the
+        # functional equivalent of the reference's save_attention hooks
+        # (reference: models/qformer.py:147-159, 252-254).
+        capture = cfg.capture_attention_probs
+        fast = cfg.fast_attention and deterministic and not capture
         out_pre = None  # set by paths whose kernel includes the output proj
         interpret = jax.default_backend() != "tpu"
         # trainable FUSED blocks (ops/fused_qformer_vjp.py): the whole
@@ -170,6 +175,7 @@ class QFormerAttention(nn.Module):
         # deterministic attention probs.  Hidden dropout stays in XLA below.
         fused_ok = (
             cfg.fused_training
+            and not capture
             and rng is None
             and not fast
             and (self.is_cross or cfg.position_embedding_type == "absolute")
@@ -236,6 +242,7 @@ class QFormerAttention(nn.Module):
             ctx = None
         elif (
             self.is_cross
+            and not capture
             and self.sp_mesh is not None
             and self.sp_mesh.shape.get("sp", 1) > 1
             and not fast
@@ -262,7 +269,8 @@ class QFormerAttention(nn.Module):
             ctx = sequence_parallel_cross_attention(
                 q, k, v, bias, mesh=self.sp_mesh, axis="sp"
             )
-        elif self.is_cross and cfg.flash_training and rng is None and not fast:
+        elif (self.is_cross and cfg.flash_training and not capture
+              and rng is None and not fast):
             # trainable streaming kernel with the K/V projections INSIDE the
             # custom vjp (ops/flash_vjp.flash_cross_attention_proj_vjp): the
             # [B, H, Lq, Lkv] probs never exist in fwd OR bwd, and the fat
@@ -292,15 +300,23 @@ class QFormerAttention(nn.Module):
             # (reference: models/qformer.py:128-133).
             k = split_heads(dense("key")(src), heads)
             v = split_heads(dense("value")(src), heads)
-            ctx = cross_attention(
-                q,
-                k,
-                v,
-                bias,
-                dropout_rate=drop_rate,
-                dropout_rng=rng,
-                deterministic=deterministic,
-            )
+            if capture:
+                ctx, probs = attention(
+                    q, k, v, bias,
+                    dropout_rate=drop_rate, dropout_rng=rng,
+                    deterministic=deterministic, return_probs=True,
+                )
+                self.sow("intermediates", "attention_probs", probs)
+            else:
+                ctx = cross_attention(
+                    q,
+                    k,
+                    v,
+                    bias,
+                    dropout_rate=drop_rate,
+                    dropout_rng=rng,
+                    deterministic=deterministic,
+                )
         elif (
             not self.is_cross
             and cfg.position_embedding_type != "absolute"
@@ -343,6 +359,8 @@ class QFormerAttention(nn.Module):
             if rng is not None:
                 keep = jax.random.bernoulli(rng, 1.0 - drop_rate, probs.shape)
                 probs = jnp.where(keep, probs / (1.0 - drop_rate), 0.0)
+            if capture:
+                self.sow("intermediates", "attention_probs", probs)
             ctx = jnp.einsum(
                 "bhlr,bhrd->bhld", probs.astype(q.dtype), v,
                 preferred_element_type=jnp.float32,
@@ -355,16 +373,24 @@ class QFormerAttention(nn.Module):
             # keeps the XLA path; the packed kernel stays a standalone op.
             k = split_heads(dense("key")(src), heads)
             v = split_heads(dense("value")(src), heads)
-            ctx = attention(
-                q,
-                k,
-                v,
-                bias,
-                dropout_rate=drop_rate,
-                dropout_rng=rng,
-                deterministic=deterministic,
-                fast=fast,
-            )
+            if capture:
+                ctx, probs = attention(
+                    q, k, v, bias,
+                    dropout_rate=drop_rate, dropout_rng=rng,
+                    deterministic=deterministic, return_probs=True,
+                )
+                self.sow("intermediates", "attention_probs", probs)
+            else:
+                ctx = attention(
+                    q,
+                    k,
+                    v,
+                    bias,
+                    dropout_rate=drop_rate,
+                    dropout_rng=rng,
+                    deterministic=deterministic,
+                    fast=fast,
+                )
         if out_pre is None:
             # the proj-fused flash op already returns merged heads [B, L, D]
             if ctx.ndim == 4:

@@ -98,8 +98,14 @@ def attention(
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     fast: bool = False,
+    return_probs: bool = False,
 ) -> jax.Array:
     """XLA attention.  q,k,v: [B, H, L, hd]; bias broadcastable to scores.
+
+    ``return_probs=True`` (introspection; forces the fp32 path) returns
+    ``(out, probs)`` with the post-dropout [B, H, Lq, Lkv] probabilities —
+    the functional stand-in for the reference's save_attention hooks
+    (reference: models/qformer.py:147-159).
 
     Default: softmax in fp32 regardless of input dtype (the reference runs
     fp32 throughout; under bf16 this preserves the normalizer).
@@ -113,7 +119,11 @@ def attention(
     (train_item_individual_token_joint.py:762).
     """
     in_dtype = q.dtype
-    if fast and (deterministic or dropout_rate == 0.0) and in_dtype == jnp.bfloat16:
+    if (
+        fast and not return_probs
+        and (deterministic or dropout_rate == 0.0)
+        and in_dtype == jnp.bfloat16
+    ):
         scale = jnp.bfloat16(1.0 / float(q.shape[-1]) ** 0.5)
         s = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.bfloat16
@@ -140,6 +150,8 @@ def attention(
     out = jnp.einsum(
         "bhqk,bhkd->bhqd", probs.astype(in_dtype), v, preferred_element_type=jnp.float32
     )
+    if return_probs:
+        return out.astype(in_dtype), probs
     return out.astype(in_dtype)
 
 
