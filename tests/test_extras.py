@@ -299,3 +299,31 @@ def test_kv_cached_beam_generate():
     assert (b_lp >= g_lp - 1e-5).all(), (b_lp, g_lp)
     # the beam's reported score must equal the teacher-forced re-scoring
     np.testing.assert_allclose(np.asarray(score4), b_lp, atol=1e-4)
+
+
+def test_kernel_flags_warn_when_zeroing_prob_dropout():
+    """The kernel flags (fused/flash/sp) silently change attention-prob
+    dropout semantics — the configs must say so out loud, exactly once per
+    distinct config (the dryrun configures dropout=0.0 to keep its tail
+    clean; this asserts the warning users rely on still fires)."""
+    import warnings
+
+    import pytest
+
+    from unirec_tpu.configs import ItemQFormerConfig, UserQFormerConfig
+
+    with pytest.warns(UserWarning, match="zeroes attention-prob dropout"):
+        ItemQFormerConfig(
+            hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+            intermediate_size=64, num_query_tokens=4, field_embedding_dim=16,
+            num_fields=3, dropout=0.1, fused_training=True,
+        ).qformer()
+    with pytest.warns(UserWarning, match="zeroes attention-prob dropout"):
+        UserQFormerConfig(dropout=0.1, flash_training=True).qformer()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # dropout=0.0 must NOT warn
+        ItemQFormerConfig(
+            hidden_size=32, num_hidden_layers=1, num_attention_heads=2,
+            intermediate_size=64, num_query_tokens=4, field_embedding_dim=16,
+            num_fields=3, dropout=0.0, fused_training=True,
+        ).qformer()
