@@ -385,12 +385,14 @@ class JointTrainer:
             raise ValueError(
                 "flash_vjp_attention is incompatible with tp>1: the kernel "
                 "is opaque to GSPMD and has no in-kernel collectives; use "
-                "dp-only meshes (shard_map path) or the XLA attention"
+                "dp-only meshes (shard_map path) or the XLA attention "
+                "(see docs/ARCHITECTURE.md 'tp scope')"
             )
         if self.int8_base and self.tp_size > 1:
             raise ValueError(
                 "int8_base is incompatible with tp>1 (the int8 qweights "
-                "tree has no tp sharding rules); use dp-only meshes"
+                "tree has no tp sharding rules); use dp-only meshes "
+                "(see docs/ARCHITECTURE.md 'tp scope')"
             )
         self.qweights = None  # built in init_state when int8_base
         self._raw_step = make_joint_train_step(
