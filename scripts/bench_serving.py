@@ -30,6 +30,10 @@ def main():
     p.add_argument("--catalog", type=int, default=20000)
     p.add_argument("--seq", type=int, default=512)
     p.add_argument("--precision", default="bf16", choices=["bf16", "int8"])
+    p.add_argument("--merge-lora", action="store_true",
+                   help="fold LoRA into base kernels before serving")
+    p.add_argument("--no-fused-blocks", action="store_true",
+                   help="disable the fused int8 Qwen3 block kernels")
     p.add_argument("--freeze-heap", action="store_true",
                    help="gc.freeze() the post-warmup heap before the "
                         "measured passes (serving/host_tuning.py)")
@@ -90,7 +94,9 @@ def main():
     print(f"init: {time.time()-t0:.1f}s", flush=True)
 
     rec = Recommender(model, params, tok, item_dict, cache, catalog,
-                      batch_size=args.batch, precision=args.precision)
+                      batch_size=args.batch, precision=args.precision,
+                      merge_lora=args.merge_lora,
+                      fused_blocks=False if args.no_fused_blocks else None)
     if args.prewarm:
         t0 = time.time()
         n_frag = rec.prewarm_prompts()

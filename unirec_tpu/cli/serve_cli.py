@@ -34,6 +34,14 @@ def add_recommender_flags(p, batch_size: int = 8):
                    help="int8-quantize the catalog")
     p.add_argument("--precision", default="bf16", choices=["bf16", "int8"],
                    help="int8: W8A8 Qwen3 projections for user encoding")
+    p.add_argument("--merge-lora", action="store_true",
+                   help="fold trained LoRA adapters into the base kernels "
+                        "(PEFT merge_and_unload; 14 fewer matmuls/layer, "
+                        "int8 quantizes the adapted weights)")
+    p.add_argument("--no-fused-blocks", action="store_true",
+                   help="disable the fused int8 Qwen3 block kernels "
+                        "(ops/fused_qwen3_int8.py); int8 then uses the "
+                        "per-projection XLA dots")
     p.add_argument("--prewarm", action="store_true",
                    help="batch-tokenize all prompt fragments at startup")
     p.add_argument("--tiny", action="store_true",
@@ -145,6 +153,9 @@ def build_recommender(args):
         model, params, tokenizer, item_dict, cache, catalog,
         batch_size=args.batch_size, quantize_catalog=args.quantize,
         precision=args.precision, mesh=mesh,
+        merge_lora=getattr(args, "merge_lora", False),
+        fused_blocks=(False if getattr(args, "no_fused_blocks", False)
+                      else None),
     )
     if args.prewarm:
         n = rec.prewarm_prompts()

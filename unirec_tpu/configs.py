@@ -368,6 +368,13 @@ class Qwen3Config:
     # Opt-in: the backward recomputes score blocks (flash-2 style), which
     # trades FLOPs for memory — measure per config (BASELINE.md).
     flash_vjp_attention: bool = False
+    # Fused int8 serving blocks (ops/fused_qwen3_int8.py): ONE quantize
+    # pass feeds the concatenated qkv matmul, and the MLP's gate/up/silu/
+    # down chain keeps its [rows, I] intermediates in VMEM.  Engages only
+    # for deterministic forwards with the qweights collection present and
+    # LoRA merged/absent (Recommender(precision="int8", merge_lora=True)
+    # sets this).  XLA per-projection int8 dots otherwise.
+    fused_int8_inference: bool = False
 
     @property
     def q_size(self) -> int:

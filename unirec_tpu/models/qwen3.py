@@ -148,15 +148,60 @@ class Qwen3Attention(nn.Module):
         b, l, _ = hidden.shape
         hq, hkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-        q = LoRADense(cfg.q_size, use_bias=cfg.attention_bias, lora=self.lora,
-                      lora_enabled=lora_on("q_proj"), name="q_proj",
-                      dtype=self.dtype)(hidden, deterministic)
-        k = LoRADense(cfg.kv_size, use_bias=cfg.attention_bias, lora=self.lora,
-                      lora_enabled=lora_on("k_proj"), name="k_proj",
-                      dtype=self.dtype)(hidden, deterministic)
-        v = LoRADense(cfg.kv_size, use_bias=cfg.attention_bias, lora=self.lora,
-                      lora_enabled=lora_on("v_proj"), name="v_proj",
-                      dtype=self.dtype)(hidden, deterministic)
+        q_mod = LoRADense(cfg.q_size, use_bias=cfg.attention_bias,
+                          lora=self.lora, lora_enabled=lora_on("q_proj"),
+                          name="q_proj", dtype=self.dtype)
+        k_mod = LoRADense(cfg.kv_size, use_bias=cfg.attention_bias,
+                          lora=self.lora, lora_enabled=lora_on("k_proj"),
+                          name="k_proj", dtype=self.dtype)
+        v_mod = LoRADense(cfg.kv_size, use_bias=cfg.attention_bias,
+                          lora=self.lora, lora_enabled=lora_on("v_proj"),
+                          name="v_proj", dtype=self.dtype)
+
+        fused_q8 = False
+        if (
+            cfg.fused_int8_inference
+            and deterministic
+            and self.lora is None
+            and not cfg.attention_bias
+        ):
+            from unirec_tpu.ops.fused_qwen3_int8 import supports_fused_qwen3
+
+            fused_q8 = supports_fused_qwen3(b * l, cfg.hidden_size)
+        if fused_q8:
+            # Params are created by calling each module on a 1-token slice
+            # (outputs DCE'd), the QFormerAttention fused-path pattern;
+            # bind also exposes the qweights collection for the check below.
+            q_mod(hidden[:, :1, :], deterministic)
+            k_mod(hidden[:, :1, :], deterministic)
+            v_mod(hidden[:, :1, :], deterministic)
+            fused_q8 = all(
+                "qweights" in m.variables for m in (q_mod, k_mod, v_mod)
+            )
+        if fused_q8:
+            # ONE row-quantization pass feeds the concatenated [Wq|Wk|Wv]
+            # int8 matmul (ops/fused_qwen3_int8.qkv_int8) — the XLA path
+            # re-quantizes the same rows once per projection.
+            from unirec_tpu.ops.fused_qwen3_int8 import qkv_int8
+
+            qw = [m.variables["qweights"] for m in (q_mod, k_mod, v_mod)]
+            qkv = qkv_int8(
+                hidden.reshape(b * l, cfg.hidden_size).astype(self.dtype),
+                jnp.concatenate([w["kernel_q"] for w in qw], axis=1),
+                jnp.concatenate(
+                    [w["kernel_scale"].reshape(-1) for w in qw]
+                ),
+                interpret=jax.default_backend() != "tpu",
+            )
+            q = qkv[:, : cfg.q_size].reshape(b, l, cfg.q_size)
+            k = qkv[:, cfg.q_size: cfg.q_size + cfg.kv_size].reshape(
+                b, l, cfg.kv_size
+            )
+            v = qkv[:, cfg.q_size + cfg.kv_size:].reshape(b, l, cfg.kv_size)
+        else:
+            q = q_mod(hidden, deterministic)
+            k = k_mod(hidden, deterministic)
+            v = v_mod(hidden, deterministic)
 
         q = q.reshape(b, l, hq, hd)
         k = k.reshape(b, l, hkv, hd)
@@ -253,16 +298,61 @@ class Qwen3MLP(nn.Module):
         lora_on = lambda name: self.lora is not None and name in (
             self.lora.target_modules
         )
-        gate = LoRADense(cfg.intermediate_size, lora=self.lora,
-                         lora_enabled=lora_on("gate_proj"), name="gate_proj",
-                         dtype=self.dtype)(x, deterministic)
-        up = LoRADense(cfg.intermediate_size, lora=self.lora,
-                       lora_enabled=lora_on("up_proj"), name="up_proj",
-                       dtype=self.dtype)(x, deterministic)
+        gate_mod = LoRADense(cfg.intermediate_size, lora=self.lora,
+                             lora_enabled=lora_on("gate_proj"),
+                             name="gate_proj", dtype=self.dtype)
+        up_mod = LoRADense(cfg.intermediate_size, lora=self.lora,
+                           lora_enabled=lora_on("up_proj"), name="up_proj",
+                           dtype=self.dtype)
+        down_mod = LoRADense(cfg.hidden_size, lora=self.lora,
+                             lora_enabled=lora_on("down_proj"),
+                             name="down_proj", dtype=self.dtype)
+
+        fused_q8 = False
+        if cfg.fused_int8_inference and deterministic and self.lora is None:
+            from unirec_tpu.ops.fused_qwen3_int8 import supports_fused_qwen3
+
+            fused_q8 = supports_fused_qwen3(
+                x.shape[0] * x.shape[1], cfg.hidden_size,
+                cfg.intermediate_size,
+            )
+        if fused_q8:
+            b, l, d = x.shape
+            gate_mod(x[:, :1, :], deterministic)  # create params; DCE'd
+            up_mod(x[:, :1, :], deterministic)
+            down_mod(
+                jnp.zeros((b, 1, cfg.intermediate_size), self.dtype),
+                deterministic,
+            )
+            fused_q8 = all(
+                "qweights" in m.variables
+                for m in (gate_mod, up_mod, down_mod)
+            )
+        if fused_q8:
+            # whole MLP as one kernel (ops/fused_qwen3_int8.swiglu_mlp_int8):
+            # the [rows, I] gate/up/h intermediates never leave VMEM — XLA
+            # cannot fuse through the down matmul, so its path round-trips
+            # ~200 MB/layer of HBM at the serving config.
+            from unirec_tpu.ops.fused_qwen3_int8 import swiglu_mlp_int8
+
+            gw = gate_mod.variables["qweights"]
+            uw = up_mod.variables["qweights"]
+            dw = down_mod.variables["qweights"]
+            out = swiglu_mlp_int8(
+                x.reshape(b * l, d).astype(self.dtype),
+                jnp.concatenate([gw["kernel_q"], uw["kernel_q"]], axis=1),
+                jnp.concatenate([gw["kernel_scale"].reshape(-1),
+                                 uw["kernel_scale"].reshape(-1)]),
+                dw["kernel_q"],
+                dw["kernel_scale"].reshape(-1),
+                interpret=jax.default_backend() != "tpu",
+            )
+            return out.reshape(b, l, d)
+
+        gate = gate_mod(x, deterministic)
+        up = up_mod(x, deterministic)
         h = nn.silu(gate) * up
-        return LoRADense(cfg.hidden_size, lora=self.lora,
-                         lora_enabled=lora_on("down_proj"), name="down_proj",
-                         dtype=self.dtype)(h, deterministic)
+        return down_mod(h, deterministic)
 
 
 class Qwen3Layer(nn.Module):

@@ -70,6 +70,8 @@ class Recommender:
         precision: str = "bf16",
         device_field_cache: bool = True,
         mesh=None,
+        merge_lora: bool = False,
+        fused_blocks: bool = None,
     ):
         """``precision="int8"`` runs the user-encoding Qwen3 forward with
         int8 (W8A8) projection matmuls (models/qwen3.quantize_qwen3_weights)
@@ -82,7 +84,46 @@ class Recommender:
         (the forward has zero collectives; each chip scans the catalog for
         its own user shard).  Both the user forward and the retrieval kernel
         contain ``pallas_call``s, so dp runs them under ``jax.shard_map``
-        (GSPMD cannot partition pallas — CLAUDE.md)."""
+        (GSPMD cannot partition pallas — CLAUDE.md).
+
+        ``merge_lora=True`` folds the trained LoRA adapters into the base
+        kernels before deployment (the PEFT merge_and_unload move —
+        utils/params.merge_lora_weights): 14 fewer rank-16 matmuls + adds
+        per layer in the serving forward, and int8 quantization sees the
+        adapted weights.  Numerics shift within adapter-magnitude rounding;
+        the quality gate is measured in BASELINE.md."""
+        if merge_lora and getattr(model, "lora", None) is not None:
+            from unirec_tpu.utils.params import merge_lora_weights
+
+            scaling = model.lora.scaling
+            if "params" in params:
+                params = dict(
+                    params, params=merge_lora_weights(
+                        params["params"], scaling
+                    )
+                )
+            else:
+                params = merge_lora_weights(params, scaling)
+            model = model.clone(lora=None)
+        if fused_blocks is None:
+            fused_blocks = precision == "int8"
+        if (
+            fused_blocks
+            and precision == "int8"
+            and getattr(model, "lora", None) is None
+            and hasattr(model, "qwen_config")
+        ):
+            # LoRA merged/absent: route the serving forward through the
+            # fused int8 Qwen3 blocks (ops/fused_qwen3_int8.py — one
+            # quantize pass for qkv, whole-MLP kernel); per-shape guards
+            # inside the model fall back to the XLA int8 dots.
+            import dataclasses as _dc
+
+            model = model.clone(
+                qwen_config=_dc.replace(
+                    model.qwen_config, fused_int8_inference=True
+                )
+            )
         self.model = model
         self.params = params
         self.tokenizer = tokenizer

@@ -91,3 +91,41 @@ def prune_to_structure(tree: Dict, template: Dict) -> Dict:
     if isinstance(template, dict):
         return {k: prune_to_structure(tree[k], template[k]) for k in template}
     return tree
+
+
+def merge_lora_weights(params: Dict, scaling: float) -> Dict:
+    """Fold trained LoRA adapters into their base kernels for deployment.
+
+    The PEFT ``merge_and_unload`` move (reference serving would deploy the
+    PEFT adapter this way): wherever a module holds ``kernel`` + ``lora_a``
+    + ``lora_b``, produce ``kernel + (A @ B) * scaling`` (fp32 accumulate,
+    stored back in the kernel's dtype) and DROP the adapter leaves.  Use the
+    result with a model built with ``lora=None`` — the serving forward then
+    runs 2 fewer matmuls per projection, and int8 quantization sees the
+    adapted weights (``scaling`` = LoRAConfig.scaling = alpha/r).
+    """
+    import jax.numpy as jnp
+
+    def walk(tree: Dict) -> Dict:
+        out = {}
+        for k, v in tree.items():
+            if not isinstance(v, dict):
+                out[k] = v
+            elif "kernel" in v and "lora_a" in v and "lora_b" in v:
+                merged = {
+                    kk: vv for kk, vv in v.items()
+                    if kk not in ("lora_a", "lora_b")
+                }
+                delta = (
+                    v["lora_a"].astype(jnp.float32)
+                    @ v["lora_b"].astype(jnp.float32)
+                ) * scaling
+                merged["kernel"] = (
+                    v["kernel"].astype(jnp.float32) + delta
+                ).astype(v["kernel"].dtype)
+                out[k] = merged
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(params)
