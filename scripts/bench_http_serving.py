@@ -71,7 +71,13 @@ def main():
     p.add_argument("--catalog", type=int, default=20000)
     p.add_argument("--seq", type=int, default=512)
     p.add_argument("--precision", default="int8", choices=["bf16", "int8"])
+    p.add_argument("--merge-lora", action="store_true",
+                   help="fold LoRA into base kernels before serving")
+    p.add_argument("--no-fused-blocks", action="store_true",
+                   help="disable the fused int8 Qwen3 block kernels")
     p.add_argument("--max-wait-ms", type=float, default=25.0)
+    p.add_argument("--max-queued", type=int, default=None,
+                   help="admission bound (requests); default 2x batch")
     p.add_argument("--modes", default="pipe,nopipe",
                    help="comma list of dispatcher modes to A/B in one "
                         "process (same chip session + warm compile cache): "
@@ -146,7 +152,9 @@ def main():
     print(f"init: {time.time()-t0:.1f}s", flush=True)
 
     rec = Recommender(model, params, tok, item_dict, cache, catalog,
-                      batch_size=args.batch, precision=args.precision)
+                      batch_size=args.batch, precision=args.precision,
+                      merge_lora=args.merge_lora,
+                      fused_blocks=False if args.no_fused_blocks else None)
     t0 = time.time()
     n_frag = rec.prewarm_prompts()
     print(f"prewarm: {n_frag} fragments in {time.time()-t0:.1f}s", flush=True)
@@ -156,7 +164,7 @@ def main():
         t0 = time.time()
         server, batcher = make_server(
             rec, port=0, max_wait_ms=args.max_wait_ms, warmup=True,
-            freeze_heap=True,
+            freeze_heap=True, max_queued=args.max_queued,
         )
         batcher.pipeline = mode == "pipe"
         port = server.server_address[1]
@@ -168,6 +176,7 @@ def main():
             # same seeds both phases: the measured phase hits a warm
             # fragment cache and warm jit shapes — the steady state under
             # repeat-heavy production traffic
+            batcher.reset_latency_window()
             b0, s0 = batcher.batches_run, batcher.requests_served
             d0, i0 = batcher.device_time_s, batcher.idle_time_s
             sub0, fin0 = batcher.submit_time_s, batcher.finalize_time_s
@@ -179,6 +188,7 @@ def main():
             cpu1 = os.times()
             total = sum(o["requests"] for o in outs)
             errors = sum(o["errors"] for o in outs)
+            sheds = sum(o.get("sheds", 0) for o in outs)
             lat = np.sort(np.concatenate(
                 [np.asarray(o["latencies_ms"], np.float64) for o in outs]))
             # sustained window: measured from first client start to last
@@ -205,7 +215,9 @@ def main():
                 f"{cpu1.user-cpu0.user+cpu1.system-cpu0.system:.2f} "
                 f"p50_ms={lat[int(0.50*(len(lat)-1))]:.0f} "
                 f"p95_ms={lat[int(0.95*(len(lat)-1))]:.0f} "
-                f"p99_ms={lat[int(0.99*(len(lat)-1))]:.0f}",
+                f"p99_ms={lat[int(0.99*(len(lat)-1))]:.0f} "
+                f"shed={sheds} (server latency view: "
+                f"{batcher.latency_quantiles()})",
                 flush=True,
             )
 

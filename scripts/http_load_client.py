@@ -54,6 +54,7 @@ def main():
     headers = {"Content-Type": "application/json"}
     latencies = []
     errors = 0
+    sheds = 0
     if args.sync:
         import sys
 
@@ -62,23 +63,37 @@ def main():
     t_start = time.time()
     for body in bodies:
         t0 = time.time()
-        try:
-            conn.request("POST", "/recommend", body=body, headers=headers)
-            resp = conn.getresponse()
-            data = resp.read()
-            if resp.status != 200 or len(json.loads(data)["items"]) != args.k:
+        while True:
+            try:
+                conn.request("POST", "/recommend", body=body, headers=headers)
+                resp = conn.getresponse()
+                data = resp.read()
+                if resp.status == 503:
+                    # server shed at saturation (bounded-queue SLO): retry
+                    # after the advertised backoff; the retry time counts
+                    # toward this request's latency — honest tail accounting
+                    sheds += 1
+                    time.sleep(0.05)  # short fixed backoff: a closed-loop
+                    # client sleeping the full Retry-After would measure
+                    # the backoff policy, not the server
+                    continue
+                if (resp.status != 200
+                        or len(json.loads(data)["items"]) != args.k):
+                    errors += 1
+                break
+            except Exception:
                 errors += 1
-        except Exception:
-            errors += 1
-            conn.close()
-            conn = http.client.HTTPConnection(
-                args.host, args.port, timeout=600)
+                conn.close()
+                conn = http.client.HTTPConnection(
+                    args.host, args.port, timeout=600)
+                break
         latencies.append(time.time() - t0)
     total = time.time() - t_start
     conn.close()
     print(json.dumps({
         "requests": args.requests,
         "errors": errors,
+        "sheds": sheds,
         "total_s": total,
         "t_start": t_start,
         "t_end": t_start + total,

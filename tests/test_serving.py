@@ -535,3 +535,267 @@ def test_device_field_cache_matches_host_gather(recommender):
     np.testing.assert_allclose(u_dev, u_host, atol=2e-2, rtol=2e-2)
     cos = (u_dev * u_host).sum(-1)
     assert (cos > 0.999).all(), cos
+
+
+def test_batcher_sheds_at_admission_bound():
+    """Latency SLO (VERDICT r3 #4): when `max_queued` requests already wait
+    for collection, further requests shed with ServerOverloaded instead of
+    growing the p99 queue tail; everything admitted still completes, and
+    latency quantiles are published."""
+    import time as _time
+
+    from unirec_tpu.serving.batching import MicroBatcher, ServerOverloaded
+
+    class _SlowStub(_StubRecommender):
+        def recommend_finalize(self, handle):
+            _time.sleep(0.05)  # hold batches in flight so the queue builds
+            return super().recommend_finalize(handle)
+
+    rec = _SlowStub()
+    batcher = MicroBatcher(
+        rec, max_wait_ms=20.0, request_timeout_s=30.0, max_queued=6
+    )
+    done, shed, other = [], [], []
+
+    def client(i):
+        try:
+            done.append(batcher.recommend([f"h{i}"], k=3))
+        except ServerOverloaded:
+            shed.append(i)
+        except Exception as e:  # pragma: no cover
+            other.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(40)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not other, other
+        assert shed, "40 bursty clients over a 6-deep queue must shed some"
+        assert len(done) + len(shed) == 40
+        assert all(len(r) == 3 for r in done)
+        assert batcher.requests_shed == len(shed)
+        q = batcher.latency_quantiles()
+        assert q["n"] == len(done)
+        assert 0 < q["p50_ms"] <= q["p95_ms"] <= q["p99_ms"]
+        # the bound is the SLO statement: an admitted request waits at most
+        # max_queued ahead of it + <=2 in-flight batches
+        assert q["p99_ms"] < 30_000
+    finally:
+        batcher.close()
+
+
+def test_batcher_inline_settle_at_light_load():
+    """With an empty queue the dispatcher settles inline (nothing to
+    overlap); results and accounting stay correct."""
+    from unirec_tpu.serving.batching import MicroBatcher
+
+    rec = _StubRecommender()
+    batcher = MicroBatcher(rec, max_wait_ms=1.0, request_timeout_s=10.0)
+    try:
+        for i in range(3):  # strictly sequential -> queue empty at submit
+            r = batcher.recommend([f"h{i}"], k=3)
+            assert len(r) == 3
+        assert batcher.requests_served == 3
+        assert batcher.latency_quantiles()["n"] == 3
+    finally:
+        batcher.close()
+
+
+def test_merge_lora_serving_matches_unmerged():
+    """merge_lora=True (PEFT merge_and_unload for deployment) must produce
+    the same user embeddings and rankings as the adapter path, with TRAINED
+    (nonzero) adapters."""
+    rng = np.random.RandomState(7)
+    n = 16
+    item_ids = [f"i{j}" for j in range(n)]
+    cache = FieldEmbeddingCache(
+        embeddings=rng.randn(n, F, FD).astype(np.float32),
+        masks=np.ones((n, F), np.float32),
+        fields=["a", "b", "c"],
+        item_ids=item_ids,
+    )
+    catalog = {
+        iid: rng.randn(QWEN.hidden_size).astype(np.float32).tolist()
+        for iid in item_ids
+    }
+    item_dict = {iid: {"title": f"Item {iid}"} for iid in item_ids}
+    tok = HashTokenizer(QWEN.vocab_size, JC.num_history_items,
+                        JC.num_query_tokens_per_item)
+    model = MultiModalQwenEmbedding(QWEN, QF, JC, lora=LoRAConfig(r=2))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, JC.max_length), jnp.int32),
+        jnp.ones((1, JC.max_length)),
+        jnp.zeros((1, JC.num_history_items, F, FD)),
+        jnp.ones((1, JC.num_history_items, F)),
+    )
+    # "train" the adapters: fill every lora_a/lora_b with nonzero values
+    # (fresh init has lora_b = 0, which would make the merge trivially exact)
+    leaves = []
+
+    def fill(tree, path=""):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                fill(v, path + "/" + k)
+            elif k in ("lora_a", "lora_b"):
+                leaves.append(path + "/" + k)
+                tree[k] = jnp.asarray(
+                    rng.randn(*v.shape).astype(np.float32) * 0.05
+                )
+
+    import flax
+
+    params = flax.core.unfreeze(params)
+    fill(params["params"])
+    assert any("lora_b" in p for p in leaves), "no adapters found"
+
+    kw = dict(batch_size=4)
+    r_adapter = Recommender(
+        model, params, tok, item_dict, cache, catalog, **kw
+    )
+    r_merged = Recommender(
+        model, params, tok, item_dict, cache, catalog, merge_lora=True, **kw
+    )
+    # merged model carries no adapter leaves
+    flat = {
+        "/".join(map(str, p))
+        for p, _ in jax.tree_util.tree_flatten_with_path(r_merged.params)[0]
+    }
+    assert not any("lora_a" in p or "lora_b" in p for p in flat)
+
+    hists = [["i0", "i1"], ["i3"], []]
+    ua = r_adapter.encode_users(hists)
+    um = r_merged.encode_users(hists)
+    np.testing.assert_allclose(np.asarray(ua), np.asarray(um), atol=2e-5)
+    ra = r_adapter.recommend(hists, k=5)
+    rm = r_merged.recommend(hists, k=5)
+    assert [[x.item_id for x in row] for row in ra] == [
+        [x.item_id for x in row] for row in rm
+    ]
+
+
+def test_int8_fused_blocks_serving_matches_xla_int8():
+    """Recommender(precision="int8", merge_lora=True) routes the forward
+    through the fused int8 Qwen3 blocks when shapes align (rows % 512 == 0,
+    dims lane-aligned); rankings must match the XLA int8 path."""
+    import dataclasses
+
+    qwen = tiny_qwen3_config(
+        hidden_size=128, intermediate_size=256, num_attention_heads=1,
+        num_key_value_heads=1, head_dim=128, max_position_embeddings=64,
+        flash_attention=False,
+    )
+    qf = ItemQFormerConfig(
+        hidden_size=128, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64, num_query_tokens=2, field_embedding_dim=FD,
+        num_fields=F, dropout=0.0,
+    )
+    jc = JointModelConfig(num_history_items=2, num_query_tokens_per_item=2,
+                          max_length=64)
+    rng = np.random.RandomState(11)
+    n = 12
+    item_ids = [f"i{j}" for j in range(n)]
+    cache = FieldEmbeddingCache(
+        embeddings=rng.randn(n, F, FD).astype(np.float32),
+        masks=np.ones((n, F), np.float32),
+        fields=["a", "b", "c"],
+        item_ids=item_ids,
+    )
+    catalog = {iid: rng.randn(qwen.hidden_size).astype(np.float32).tolist()
+               for iid in item_ids}
+    item_dict = {iid: {"title": f"Item {iid}"} for iid in item_ids}
+    tok = HashTokenizer(qwen.vocab_size, jc.num_history_items,
+                        jc.num_query_tokens_per_item)
+    model = MultiModalQwenEmbedding(qwen, qf, jc, lora=LoRAConfig(r=2))
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, jc.max_length), jnp.int32),
+        jnp.ones((1, jc.max_length)),
+        jnp.zeros((1, jc.num_history_items, F, FD)),
+        jnp.ones((1, jc.num_history_items, F)),
+    )
+    kw = dict(batch_size=8, precision="int8")  # 8 * 64 = 512 rows: fused
+    r_fused = Recommender(model, params, tok, item_dict, cache, catalog,
+                          merge_lora=True, **kw)
+    assert r_fused.model.qwen_config.fused_int8_inference
+    # control: same merged model, fused dispatch disabled
+    ctl_model = r_fused.model.clone(
+        qwen_config=dataclasses.replace(
+            r_fused.model.qwen_config, fused_int8_inference=False
+        )
+    )
+    r_xla = Recommender(ctl_model, r_fused.params, tok, item_dict, cache,
+                        catalog, fused_blocks=False, **kw)
+    assert not r_xla.model.qwen_config.fused_int8_inference
+
+    hists = [["i0", "i1"], ["i3"], [], ["i2", "i5"]]
+    uf = np.asarray(r_fused.encode_users(hists), np.float32)
+    ux = np.asarray(r_xla.encode_users(hists), np.float32)
+    cos = (uf * ux).sum(-1) / (
+        np.linalg.norm(uf, axis=-1) * np.linalg.norm(ux, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.9999, cos.min()
+    rf = r_fused.recommend(hists, k=5)
+    rx = r_xla.recommend(hists, k=5)
+    assert [[x.item_id for x in row] for row in rf] == [
+        [x.item_id for x in row] for row in rx
+    ]
+
+
+def test_int8_fused_blocks_under_dp_mesh():
+    """Fused int8 Qwen3 blocks under a dp shard_map: each shard sees
+    batch/dp * seq rows (8/2 * 64 = 256 -> NOT tile-divisible, falls back;
+    16/2 * 64 = 512 -> fused) and must match single-device output."""
+    from unirec_tpu.configs import MeshConfig
+    from unirec_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 devices")
+    qwen = tiny_qwen3_config(
+        hidden_size=128, intermediate_size=256, num_attention_heads=1,
+        num_key_value_heads=1, head_dim=128, max_position_embeddings=64,
+        flash_attention=False,
+    )
+    qf = ItemQFormerConfig(
+        hidden_size=128, num_hidden_layers=1, num_attention_heads=2,
+        intermediate_size=64, num_query_tokens=2, field_embedding_dim=FD,
+        num_fields=F, dropout=0.0,
+    )
+    jc = JointModelConfig(num_history_items=2, num_query_tokens_per_item=2,
+                          max_length=64)
+    rng = np.random.RandomState(13)
+    n = 10
+    item_ids = [f"i{j}" for j in range(n)]
+    cache = FieldEmbeddingCache(
+        embeddings=rng.randn(n, F, FD).astype(np.float32),
+        masks=np.ones((n, F), np.float32),
+        fields=["a", "b", "c"],
+        item_ids=item_ids,
+    )
+    catalog = {iid: rng.randn(qwen.hidden_size).astype(np.float32).tolist()
+               for iid in item_ids}
+    item_dict = {iid: {"title": f"Item {iid}"} for iid in item_ids}
+    tok = HashTokenizer(qwen.vocab_size, jc.num_history_items,
+                        jc.num_query_tokens_per_item)
+    model = MultiModalQwenEmbedding(qwen, qf, jc)  # no LoRA
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, jc.max_length), jnp.int32),
+        jnp.ones((1, jc.max_length)),
+        jnp.zeros((1, jc.num_history_items, F, FD)),
+        jnp.ones((1, jc.num_history_items, F)),
+    )
+    mesh = make_mesh(MeshConfig(dp=2, tp=1))
+    kw = dict(precision="int8")
+    # per-shard rows = 16/2 * 64 = 512: the fused tile engages per shard
+    r_dp = Recommender(model, params, tok, item_dict, cache, catalog,
+                       batch_size=16, mesh=mesh, **kw)
+    r_1 = Recommender(model, params, tok, item_dict, cache, catalog,
+                      batch_size=16, **kw)
+    assert r_dp.model.qwen_config.fused_int8_inference
+    hists = [["i0", "i1"], ["i3"], [], ["i2"], ["i4", "i5"]]
+    u_dp = np.asarray(r_dp.encode_users(hists), np.float32)
+    u_1 = np.asarray(r_1.encode_users(hists), np.float32)
+    np.testing.assert_allclose(u_dp, u_1, atol=1e-5, rtol=1e-5)

@@ -19,7 +19,7 @@ from __future__ import annotations
 import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from unirec_tpu.serving.batching import MicroBatcher
+from unirec_tpu.serving.batching import MicroBatcher, ServerOverloaded
 from unirec_tpu.serving.recommender import Recommender
 
 
@@ -49,6 +49,11 @@ def make_handler(recommender: Recommender, batcher: MicroBatcher):
                         "idle_time_s": batcher.idle_time_s,
                         "submit_time_s": batcher.submit_time_s,
                         "finalize_time_s": batcher.finalize_time_s,
+                        "requests_shed": batcher.requests_shed,
+                        "max_queued": batcher.max_queued,
+                        # end-to-end latency quantiles over the last <=4096
+                        # requests: every throughput reading carries its tail
+                        "latency": batcher.latency_quantiles(),
                     },
                 )
             else:
@@ -79,7 +84,19 @@ def make_handler(recommender: Recommender, batcher: MicroBatcher):
                                       f"{len(recommender.catalog_ids)}]"},
                         )
                         return
-                    recs = batcher.recommend(history, k=k)
+                    try:
+                        recs = batcher.recommend(history, k=k)
+                    except ServerOverloaded as e:
+                        # shed at saturation: clients retry with backoff
+                        # instead of queueing into an unbounded p99 tail
+                        self.send_response(503)
+                        self.send_header("Retry-After", "1")
+                        body = json.dumps({"error": str(e)}).encode()
+                        self.send_header("Content-Type", "application/json")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     self._send(
                         200,
                         {"items": [
@@ -108,6 +125,7 @@ def make_server(
     request_timeout_s: float = 600.0,
     warmup: bool = False,
     freeze_heap: bool = False,
+    max_queued: int = None,
 ):
     """(server, batcher) — caller owns serve_forever/shutdown (tests).
 
@@ -119,7 +137,8 @@ def make_server(
     catalog/cache state (serving/host_tuning.py) — process-global, so
     opt-in."""
     batcher = MicroBatcher(recommender, max_wait_ms=max_wait_ms,
-                           request_timeout_s=request_timeout_s)
+                           request_timeout_s=request_timeout_s,
+                           max_queued=max_queued)
     if warmup:
         batcher.warmup()
     if freeze_heap:
