@@ -74,6 +74,10 @@ def main():
                    help="comma list of blocks to time")
     p.add_argument("--self-tile", type=int, default=None,
                    help="override the int8 self block tile rows")
+    p.add_argument("--ffn-tile", type=int, default=None,
+                   help="override the int8 FFN block tile rows")
+    p.add_argument("--ffn-chunk", type=int, default=None,
+                   help="override the int8 FFN intermediate chunk")
     args = p.parse_args()
     only = set(args.only.split(","))
 
@@ -162,7 +166,8 @@ def main():
         xx, mm, kb, *w,
         num_heads=HEADS, n_q=K, n_kv=F).astype(jnp.float32).sum())
     ffn_q = jax.jit(lambda xx, *w: fused_ffn_block_q(
-        xx, *w).astype(jnp.float32).sum())
+        xx, *w, tile_rows=args.ffn_tile,
+        chunk=args.ffn_chunk).astype(jnp.float32).sum())
 
     print("int8 blocks:", flush=True)
     if "self" in only:
@@ -177,7 +182,9 @@ def main():
     if "ffn" in only:
         results["ffn_q"] = bench(
             ffn_q, (x, w1_q, s1, b1, w2_q, s2, b2, g, be),
-            args.steps, "ffn int8 (tile 512)")
+            args.steps,
+            f"ffn int8 (tile {args.ffn_tile or 512}, "
+            f"chunk {args.ffn_chunk or 'auto'})")
 
     if not args.skip_bf16:
         wqkv_b, wo_b = wqkv.astype(jnp.bfloat16), wo.astype(jnp.bfloat16)

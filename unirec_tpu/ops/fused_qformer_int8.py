@@ -415,12 +415,18 @@ def fused_cross_attention_block_q(
     return out[: bp * k].reshape(bp, k, d)[:b]
 
 
-@functools.partial(jax.jit, static_argnames=("ln_eps", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("ln_eps", "interpret", "tile_rows", "chunk")
+)
 def fused_ffn_block_q(
     x, w1_q, s1, b1, w2_q, s2, b2, ln_gamma, ln_beta,
     *, ln_eps: float = 1e-12, interpret: bool = False,
+    tile_rows: int = None, chunk: int = None,
 ):
-    """Int8 LayerNorm(x + W2·gelu(W1·x)), W1/W2 streamed in chunks."""
+    """Int8 LayerNorm(x + W2·gelu(W1·x)), W1/W2 streamed in chunks.
+
+    ``tile_rows``/``chunk`` override the 512-row / auto-chunk defaults for
+    shape probing (scripts/profile_int8_blocks.py)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -428,10 +434,11 @@ def fused_ffn_block_q(
 
     b, k, d = x.shape
     inter = w1_q.shape[1]
-    chunk = ffn_chunk_size(inter)
-    assert chunk, f"no lane-aligned chunk divides intermediate dim {inter}"
+    chunk = chunk or ffn_chunk_size(inter)
+    assert chunk and inter % chunk == 0, \
+        f"no lane-aligned chunk divides intermediate dim {inter}"
     num_chunks = inter // chunk
-    tile = _FFN_TILE_ROWS
+    tile = tile_rows or _FFN_TILE_ROWS
     rows = b * k
     pad_rows = (-rows) % tile
     xf = x.reshape(rows, d)
@@ -471,6 +478,12 @@ def fused_ffn_block_q(
             pltpu.VMEM((tile, d), jnp.int8),
             pltpu.VMEM((tile, 128), jnp.float32),
         ],
+        # probe tiles past 512 rows need the scoped limit raised (the
+        # [tile, chunk] fp32 h intermediate dominates)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(16, 16 * (tile // 512) * (chunk // 512))
+            * 1024 * 1024
+        ),
         interpret=interpret,
     )(xf, w1_q, _row2d(s1), _row2d(b1), w2_q, _row2d(s2), _row2d(b2),
       _row2d(ln_gamma), _row2d(ln_beta))
