@@ -18,6 +18,27 @@ each grid step.  VERDICT r3 names two untried structures:
    (matching the round-7 interleave negative).
 
 All timings: scalar-reduced jit, arrays as jit arguments, same chip grant.
+
+MEASURED (round 8, BASELINE.md):
+
+* ``--variant coissue``: matmul-only 2.09 ms / vpu-only 2.11 / together
+  2.07-2.23 across reps 1-4 — reads as ~100% overlap, BUT the probe is
+  CONFOUNDED: each grid step writes a [512, 3072] int32 tile and the
+  scalar reduction re-reads it (~380 MB HBM round trip per call), so all
+  three variants sit on the same DMA floor and the compute hides under
+  it.  Treat as "not disproven", not proof.
+* ``--variant grouped``: 6.90 vs 6.98 ms serial — 0.99x, NO win.  Phase
+  grouping changes nothing: Mosaic already schedules the serial per-head
+  loop as well as the grouped one (numerics bit-identical).
+* the companion probe_interleave.py at --tile 1024 (512-row halves, the
+  non-pathological matmul shape): 6.86 vs 6.86 ms — exactly neutral.
+
+Conclusion: both VERDICT-r3 structures are measured negative.  The block
+is not scheduler-starved; it sits at ~90% of its own SAME-GRANT pure-
+matmul floor (profile_int8_blocks.py --floor), and the residual "MXU
+efficiency" gap is the Mosaic/XLA int8 matmul rate itself (~176-250
+TOP/s sustained vs the 394 TOPS datasheet — uniform across Pallas tile
+sizes AND plain XLA, BASELINE.md round 4).
 """
 
 import argparse

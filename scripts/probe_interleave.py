@@ -16,6 +16,14 @@ VERDICT (measured, BASELINE.md round 7): it does NOT graduate — serial
 8.34 ms vs interleaved 8.86 ms on the same grant, numerics exactly equal.
 Mosaic's scheduler does not exploit the phase freedom, and the half-size
 matmul steps lose more than the overlap could gain.
+
+Round-8 re-test at ``--tile 1024`` (512-row halves — the KNOWN-GOOD
+matmul shape, removing the 256-row pathology that confounded the run
+above): serial 6.86 ms vs interleaved 6.86 ms, numerics exactly equal —
+EXACTLY neutral.  With the shape excuse gone, the negative is clean:
+giving Mosaic phase-shifted independent work does not change the
+schedule.  See probe_attn_structures.py for the full round-8 conclusion
+(the block already sits at ~90% of its same-grant pure-matmul floor).
 """
 
 import argparse
@@ -168,6 +176,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--tile", type=int, default=512,
+                   help="rows per grid step; halves are tile/2 — at 1024 "
+                        "the halves stay on the known-good 512-row matmul "
+                        "shape (the 512 default's 256-row halves hit the "
+                        "Mosaic pathology, BASELINE.md round 7)")
     args = p.parse_args()
 
     key = jax.random.PRNGKey(0)
@@ -194,14 +207,16 @@ def main():
 
     fargs = (x, wqkv_q, sqkv, bqkv, wo_q, so, bo, g, be)
 
-    wrap = jax.jit(lambda *a: self_interleaved(*a).astype(
+    tile = args.tile
+    wrap = jax.jit(lambda *a: self_interleaved(*a, tile=tile).astype(
         jnp.float32).sum())
     base = jax.jit(lambda xx, *w: fused_self_attention_block_q(
         xx, *w, num_heads=HEADS, n_q=K).astype(jnp.float32).sum())
 
     print("baseline (current library kernel, tile 512):", flush=True)
     bench(base, fargs, args.steps, "self int8 serial")
-    print("interleaved (2x256 halves per 512-row step):", flush=True)
+    print(f"interleaved (2x{tile//2} halves per {tile}-row step):",
+          flush=True)
     bench(wrap, fargs, args.steps, "self int8 interleaved")
 
     # numerics: identical math, different op order — must match exactly

@@ -78,6 +78,12 @@ def main():
                    help="override the int8 FFN block tile rows")
     p.add_argument("--ffn-chunk", type=int, default=None,
                    help="override the int8 FFN intermediate chunk")
+    p.add_argument("--floor", action="store_true",
+                   help="also measure the SAME-GRANT pure-Mosaic int8 "
+                        "matmul rate at each block's shapes and report "
+                        "block time vs its own matmul floor (the datasheet "
+                        "394 TOPS is not reachable through this stack — "
+                        "BASELINE.md round 4/8)")
     args = p.parse_args()
     only = set(args.only.split(","))
 
@@ -159,6 +165,28 @@ def main():
 
     results = {}
 
+    rates = {}
+    if args.floor:
+        # same-grant pure-matmul rate through Mosaic at the blocks' own
+        # matmul shapes (512-row tiles, weights VMEM-resident): the honest
+        # floor each block should be compared against
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import bench_mosaic_matmul as bmm
+
+        n_tiles = rows // 512
+        for name, n_dim in [("wide", 3 * D), ("narrow", D), ("kv", 2 * D)]:
+            gop = rows * D * n_dim * 2 / 1e9
+            kx, kw = jax.random.split(jax.random.fold_in(key, 7 + n_dim))
+            x8 = jax.random.randint(kx, (rows, D), -127, 127, jnp.int8)
+            w8 = jax.random.randint(kw, (D, n_dim), -127, 127, jnp.int8)
+            fn = bmm.make_mm(512, D, n_dim, n_tiles, jnp.int8, jnp.int32)
+            dt = bench(fn, (x8, w8), args.steps,
+                       f"floor int8 [512x{D}]x[{D}x{n_dim}]")
+            rates[name] = gop / dt  # TOP/s
+        print(f"  same-grant Mosaic int8 rates: "
+              f"wide {rates['wide']:.0f} / kv {rates['kv']:.0f} / "
+              f"narrow {rates['narrow']:.0f} TOP/s", flush=True)
+
     self_q = jax.jit(lambda xx, *w: fused_self_attention_block_q(
         xx, *w, num_heads=HEADS, n_q=K,
         tile_rows=args.self_tile).astype(jnp.float32).sum())
@@ -221,9 +249,23 @@ def main():
     ]:
         # attention cores stay bf16 in the int8 kernels
         ideal = gf / INT8_TOPS + gfa / BF16_TFLOPS  # ms
+        floor_note = ""
+        if rates:
+            attn_ms = gfa / BF16_TFLOPS
+            if name == "self":
+                floor = (rows * D * 3 * D * 2 / 1e9 / rates["wide"]
+                         + rows * D * D * 2 / 1e9 / rates["narrow"])
+            elif name == "cross":
+                floor = (rows * D * D * 2 * 2 / 1e9 / rates["narrow"]
+                         + b * F * D * 2 * D * 2 / 1e9 / rates["kv"])
+            else:
+                floor = gf / rates["narrow"]
+            floor += attn_ms
+            floor_note = (f" | same-grant floor {floor:.2f} ms -> "
+                          f"{floor/t*100:.0f}% of floor")
         print(f"  {name}: {t:.2f} ms x{n} = {t*n:.1f} ms/stack"
               f" | MXU-ideal {ideal:.2f} ms -> {ideal/t*100:.0f}% eff"
-              f" | gap {t-ideal:.2f} ms/block")
+              f" | gap {t-ideal:.2f} ms/block{floor_note}")
     print(f"  stack sum: {stack:.1f} ms "
           f"(engine measured ~213 ms at batch 4096; "
           f"residual = embeddings LN + first-layer bcast savings + launch)")

@@ -434,6 +434,14 @@ def fused_ffn_block_q(
 
     b, k, d = x.shape
     inter = w1_q.shape[1]
+    if chunk is None and inter <= 4096 and inter % 128 == 0:
+        # whole-intermediate residency: W1+W2 int8 at the production shape
+        # are 8 MB — a constant index_map keeps them in VMEM across all
+        # grid steps, dropping the per-step chunk re-DMA (~2 GB/block) and
+        # 4x of the grid steps.  Measured 8.79 -> 8.46 ms (round-8 sweep,
+        # scripts/probe_ffn_chunks.py) — the re-DMA was mostly hidden, but
+        # the win is free.  Larger intermediates fall back to chunking.
+        chunk = inter
     chunk = chunk or ffn_chunk_size(inter)
     assert chunk and inter % chunk == 0, \
         f"no lane-aligned chunk divides intermediate dim {inter}"
@@ -478,10 +486,18 @@ def fused_ffn_block_q(
             pltpu.VMEM((tile, d), jnp.int8),
             pltpu.VMEM((tile, 128), jnp.float32),
         ],
-        # probe tiles past 512 rows need the scoped limit raised (the
-        # [tile, chunk] fp32 h intermediate dominates)
+        # scoped-VMEM sizing: [tile, chunk] fp32 h + its int8 requant and
+        # the [tile, d] fp32/int32 accumulators dominate; weight chunks
+        # (2*chunk*d int8) go resident when num_chunks == 1.  v5e has
+        # 128 MB physical — cap at 100.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=max(16, 16 * (tile // 512) * (chunk // 512))
+            vmem_limit_bytes=min(
+                100,
+                24
+                + (tile * chunk * 8) // (1024 * 1024)
+                + (tile * d * 12) // (1024 * 1024)
+                + (2 * chunk * d) // (1024 * 1024),
+            )
             * 1024 * 1024
         ),
         interpret=interpret,
