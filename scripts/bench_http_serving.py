@@ -172,6 +172,7 @@ def main():
               f"port={port}", flush=True)
         threading.Thread(target=server.serve_forever, daemon=True).start()
 
+        rec.submit_phase_s.clear()
         for phase, seed0 in (("warm", 10_000), ("measured", 10_000)):
             # same seeds both phases: the measured phase hits a warm
             # fragment cache and warm jit shapes — the steady state under
@@ -217,9 +218,11 @@ def main():
                 f"p95_ms={lat[int(0.95*(len(lat)-1))]:.0f} "
                 f"p99_ms={lat[int(0.99*(len(lat)-1))]:.0f} "
                 f"shed={sheds} (server latency view: "
-                f"{batcher.latency_quantiles()})",
+                f"{batcher.latency_quantiles()}; submit phases: "
+                f"{dict(rec.submit_phase_s)})",
                 flush=True,
             )
+            rec.submit_phase_s.clear()
 
         server.shutdown()
         batcher.close()

@@ -184,3 +184,31 @@ def test_item_train_step_int8_reference_forwards():
     assert abs(losses["int8"] - losses["xla"]) / abs(losses["xla"]) < 0.02, (
         losses
     )
+
+
+def test_ffn_whole_intermediate_residency_default():
+    """inter <= 4096 defaults to chunk=inter (weights VMEM-resident,
+    round-8); the result must match an explicitly chunked run up to
+    requant-grouping noise, and exactly match explicit chunk=inter."""
+    from unirec_tpu.ops.fused_qformer_int8 import fused_ffn_block_q
+
+    rng = np.random.RandomState(3)
+    d, inter, b, k = 64, 256, 4, 8
+    x = jnp.asarray(rng.randn(b, k, d).astype(np.float32) * 0.1)
+    w1_q, s1 = quantize_weight(jnp.asarray(rng.randn(d, inter), jnp.float32))
+    w2_q, s2 = quantize_weight(jnp.asarray(rng.randn(inter, d), jnp.float32))
+    b1 = jnp.asarray(rng.randn(inter).astype(np.float32) * 0.01)
+    b2 = jnp.asarray(rng.randn(d).astype(np.float32) * 0.01)
+    g = jnp.ones((d,), jnp.float32)
+    be = jnp.zeros((d,), jnp.float32)
+    args = (x, w1_q, s1, b1, w2_q, s2, b2, g, be)
+
+    default = fused_ffn_block_q(*args, tile_rows=32, interpret=True)
+    whole = fused_ffn_block_q(*args, tile_rows=32, chunk=inter,
+                              interpret=True)
+    chunked = fused_ffn_block_q(*args, tile_rows=32, chunk=128,
+                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(default), np.asarray(whole))
+    # chunk boundaries change the h-requant grouping: small but nonzero
+    diff = np.max(np.abs(np.asarray(default) - np.asarray(chunked)))
+    assert 0 < diff < 0.15

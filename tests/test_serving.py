@@ -799,3 +799,32 @@ def test_int8_fused_blocks_under_dp_mesh():
     u_dp = np.asarray(r_dp.encode_users(hists), np.float32)
     u_1 = np.asarray(r_1.encode_users(hists), np.float32)
     np.testing.assert_allclose(u_dp, u_1, atol=1e-5, rtol=1e-5)
+
+
+def test_warmup_exempt_from_request_timeout():
+    """A cold jit compile can exceed request_timeout_s (measured >600 s
+    through the remote-compile tunnel); warmup() must wait it out instead
+    of killing the server before it admits traffic — and must restore the
+    configured timeout afterwards."""
+    import time as _time
+
+    from unirec_tpu.serving.batching import MicroBatcher
+
+    class _SlowFirstCall(_StubRecommender):
+        def __init__(self):
+            super().__init__()
+            self.first = True
+
+        def recommend_submit(self, histories, k=10):
+            if self.first:
+                self.first = False
+                _time.sleep(0.5)  # "compile" longer than the SLO below
+            return super().recommend_submit(histories, k)
+
+    rec = _SlowFirstCall()
+    batcher = MicroBatcher(rec, max_wait_ms=1.0, request_timeout_s=0.2)
+    try:
+        batcher.warmup()  # must NOT raise TimeoutError
+        assert batcher.request_timeout_s == 0.2  # restored
+    finally:
+        batcher.close()

@@ -126,8 +126,18 @@ class MicroBatcher:
     def warmup(self, k: int = 10) -> None:
         """Run one full-shape batch through the recommender so the jit
         compile (minutes through the remote-compile tunnel on first use)
-        happens before traffic is admitted."""
-        self.recommend([], k=self._bucket_k(k))
+        happens before traffic is admitted.
+
+        The warmup request is exempt from ``request_timeout_s``: a cold
+        compile can exceed the per-request SLO by design (measured >600 s
+        for the 0.6B int8 serving executable on a cold cache), and timing
+        out here would kill the server before it ever admits traffic."""
+        old = self.request_timeout_s
+        self.request_timeout_s = max(old, 7200.0)
+        try:
+            self.recommend([], k=self._bucket_k(k))
+        finally:
+            self.request_timeout_s = old
 
     # -- client side --------------------------------------------------------
 

@@ -146,6 +146,11 @@ class Recommender:
                 f"{self.dp_size}"
             )
         self._retrievals = {}  # fetch-k -> jitted dp retrieval
+        # per-phase host wall time inside recommend_submit (serving-bench
+        # attribution; see recommend_submit docstring)
+        from collections import defaultdict
+
+        self.submit_phase_s = defaultdict(float)
         if mesh is not None:
             self.params = params = replicate(mesh, params)
 
@@ -418,13 +423,24 @@ class Recommender:
         tokenization/assembly and batch N's response post-processing with
         batch N's device compute (the same MAX_IN_FLIGHT overlap the
         offline ``encode_users`` sweep gets, which the un-pipelined HTTP
-        path measured ~35% slower without — BASELINE.md round 6)."""
+        path measured ~35% slower without — BASELINE.md round 6).
+
+        ``submit_phase_s`` accumulates per-phase wall time (encode /
+        retrieve dispatch) for the serving benches' attribution — host
+        cost only; both phases are asynchronous device dispatches."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         chunks = self._encode_user_chunks(histories)
+        t1 = _time.perf_counter()
         fetch = k + (self.jc.num_history_items if exclude_history else 0)
         users_dev = jnp.concatenate([emb for emb, _ in chunks], axis=0).astype(
             jnp.float32
         )
         s, ix = self._retrieve(users_dev, fetch)
+        t2 = _time.perf_counter()
+        self.submit_phase_s["encode"] += t1 - t0
+        self.submit_phase_s["retrieve"] += t2 - t1
         return (s, ix, [n for _, n in chunks], histories, k, exclude_history)
 
     def recommend_finalize(self, handle) -> List[List[Recommendation]]:
@@ -474,7 +490,17 @@ class Recommender:
 
             cat = (self._catalog_dev,)
         if self.mesh is None:
-            return kern(users_dev, *cat)
+            # jit the whole retrieval (cached per fetch-k): the bare call
+            # runs ~15 eager ops (normalize, pads, pallas_call, argsort,
+            # gathers), each a separate blocking dispatch through the
+            # axon tunnel — measured 0.81 s/batch of host wall inside the
+            # serving dispatcher vs ~10 ms jitted (round-8 submit-phase
+            # attribution, scripts/bench_http_serving.py)
+            fn = self._retrievals.get(fetch)
+            if fn is None:
+                fn = jax.jit(kern)
+                self._retrievals[fetch] = fn
+            return fn(users_dev, *cat)
         fn = self._retrievals.get(fetch)
         if fn is None:
             fn = _dp_sharded(
