@@ -828,3 +828,20 @@ def test_warmup_exempt_from_request_timeout():
         assert batcher.request_timeout_s == 0.2  # restored
     finally:
         batcher.close()
+
+
+def test_single_chip_retrieval_is_jitted(recommender):
+    """Round-8 regression: the single-chip retrieval must run as ONE jitted
+    callable (cached per fetch-k), not ~15 eager ops — each eager op is a
+    separate blocking dispatch through the remote tunnel (measured
+    0.81 s/batch inside the serving dispatcher, BASELINE.md round 8)."""
+    recommender._retrievals.clear()
+    recommender.recommend([["item0", "item1"]], k=3)
+    assert recommender._retrievals, "retrieval did not go through the jit cache"
+    fetch, fn = next(iter(recommender._retrievals.items()))
+    import jax
+
+    assert isinstance(fn, jax.stages.Wrapped)
+    # second call reuses the cached callable (no growth)
+    recommender.recommend([["item2"]], k=3)
+    assert len(recommender._retrievals) == 1
