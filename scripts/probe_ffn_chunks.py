@@ -63,12 +63,16 @@ def main():
         default="512:1024,512:2048,512:4096,1024:2048,1024:4096",
         help="comma list of tile:chunk pairs (512:1024 is the baseline)",
     )
+    p.add_argument("--bf16", action="store_true",
+                   help="probe the bf16 fused_ffn_block instead (its "
+                        "baseline is tile 256, chunk 1024)")
     args = p.parse_args()
 
     from unirec_tpu.ops.fused_qformer_int8 import (
         fused_ffn_block_q,
         quantize_weight,
     )
+    from unirec_tpu.ops.fused_qformer_layer import fused_ffn_block
 
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -103,25 +107,39 @@ def main():
     w2_q, s2 = qw(w2)
     fargs = (x, w1_q, s1, b1, w2_q, s2, b2, g, be)
 
-    ref = fused_ffn_block_q(*fargs, tile_rows=512, chunk=1024)
+    if args.bf16:
+        w1b, w2b = w1.astype(jnp.bfloat16), w2.astype(jnp.bfloat16)
+        bargs = (x, w1b, b1, w2b, b2, g, be)
+        block = fused_ffn_block
+        ref = block(*bargs, tile_rows=256, chunk=1024)
+        base_cfg = "256:1024"
+        fargs = bargs
+    else:
+        block = fused_ffn_block_q
+        ref = block(*fargs, tile_rows=512, chunk=1024)
+        base_cfg = "512:1024"
 
     results = {}
-    for cfg in args.configs.split(","):
+    configs = args.configs
+    if args.bf16 and configs.startswith("512:1024,"):
+        configs = "256:1024,256:4096,512:1024,512:4096"
+    for cfg in configs.split(","):
         tile, chunk = (int(v) for v in cfg.split(":"))
-        out = fused_ffn_block_q(*fargs, tile_rows=tile, chunk=chunk)
+        out = block(*fargs, tile_rows=tile, chunk=chunk)
         err = float(jnp.max(jnp.abs(
             out.astype(jnp.float32) - ref.astype(jnp.float32))))
-        # chunk boundaries change h-requant scales slightly; same class of
-        # error as the int8 quality gate, must stay small
+        # chunk boundaries change h-requant scales slightly (int8) or fp32
+        # accumulation order (bf16); must stay small
         print(f"  tile {tile} chunk {chunk}: max|err| vs baseline {err:.2e}",
               flush=True)
         del out
-        fn = jax.jit(lambda xx, *w, _t=tile, _c=chunk: fused_ffn_block_q(
+        fn = jax.jit(lambda xx, *w, _t=tile, _c=chunk: block(
             xx, *w, tile_rows=_t, chunk=_c).astype(jnp.float32).sum())
-        results[cfg] = bench(fn, fargs, args.steps,
-                             f"ffn int8 tile {tile} chunk {chunk}")
+        results[cfg] = bench(
+            fn, fargs, args.steps,
+            f"ffn {'bf16' if args.bf16 else 'int8'} tile {tile} chunk {chunk}")
 
-    base = results.get("512:1024")
+    base = results.get(base_cfg)
     if base:
         for cfg, dt in sorted(results.items(), key=lambda kv: kv[1]):
             print(f"  {cfg}: {dt:.2f} ms  ({base/dt:.2f}x of baseline)",

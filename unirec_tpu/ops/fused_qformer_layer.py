@@ -457,7 +457,7 @@ def ffn_chunk_size(intermediate: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ln_eps", "interpret")
+    jax.jit, static_argnames=("ln_eps", "interpret", "tile_rows", "chunk")
 )
 def fused_ffn_block(
     x: jax.Array,          # [B, K, D]
@@ -470,21 +470,34 @@ def fused_ffn_block(
     *,
     ln_eps: float = 1e-12,
     interpret: bool = False,
+    tile_rows: int = None,
+    chunk: int = None,
 ) -> jax.Array:
     """LayerNorm(x + W2·gelu(W1·x)): the intermediate [rows, I] activation
     never touches HBM — W1/W2 stream through VMEM in I-chunks accumulated
     in fp32.  gelu follows the engine's dtype rule (bf16 -> tanh approx,
-    fp32 -> exact erf; see inference/fused_qformer._ffn)."""
+    fp32 -> exact erf; see inference/fused_qformer._ffn).
+
+    Chunking mirrors the int8 block (round 8): for ``inter <= 4096`` in
+    bf16 the whole W1+W2 (16 MB) go VMEM-resident via a constant
+    index_map — no per-step chunk re-DMA; ``tile_rows``/``chunk``
+    override for probing (scripts/probe_ffn_chunks.py --bf16)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, k, d = x.shape
     inter = w1.shape[1]
-    chunk = ffn_chunk_size(inter)
+    if chunk is None and inter <= 4096 and inter % 128 == 0 \
+            and x.dtype == jnp.bfloat16:
+        chunk = inter
+    chunk = chunk or ffn_chunk_size(inter)
     assert chunk, f"no lane-aligned chunk divides intermediate dim {inter}"
     num_chunks = inter // chunk
-    # the FFN is purely row-wise: no item-alignment constraint on the tile
-    tile = _TILE_ROWS
+    # the FFN is purely row-wise: no item-alignment constraint on the tile.
+    # Whole-residency runs 512-row tiles (round-8 sweep: 256:1024 14.43 ->
+    # 512:4096 13.01 ms, +11%); the chunked fallback keeps the engine's
+    # 256-row default.
+    tile = tile_rows or (512 if num_chunks == 1 else _TILE_ROWS)
     rows = b * k
     pad_rows = (-rows) % tile
     xf = x.reshape(rows, d)
@@ -520,6 +533,18 @@ def fused_ffn_block(
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((tile, d), jnp.float32)],
+        # resident weights (2 * d * chunk at the input dtype) + the
+        # [tile, chunk] fp32 h transient dominate; 16 MB default only
+        # covers the chunked configuration
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                100,
+                16
+                + (tile * chunk * 4) // (1024 * 1024)
+                + (2 * chunk * d * x.dtype.itemsize) // (1024 * 1024),
+            )
+            * 1024 * 1024
+        ),
         interpret=interpret,
     )(xf, w1, _row2d(b1), w2, _row2d(b2), _row2d(ln_gamma), _row2d(ln_beta))
     return out[:rows].reshape(b, k, d)
