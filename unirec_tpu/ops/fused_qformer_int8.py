@@ -310,9 +310,11 @@ def fused_self_attention_block_q(
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((tile, d), jnp.bfloat16)],
         # [tile, 3D] int32 qkv accumulator dominates; 512-row tiles need
-        # the scoped limit above the 16MB default (v5e: 128MB physical)
+        # the scoped limit above the 16MB default (v5e: 128MB physical);
+        # probe tiles beyond 512 scale it further
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=48 * 1024 * 1024
+            vmem_limit_bytes=min(100, 48 * max(1, tile // 512))
+            * 1024 * 1024
         ),
         interpret=interpret,
     )(xf, wqkv_q, _row2d(sqkv), _row2d(bqkv), wo_q, _row2d(so), _row2d(bo),

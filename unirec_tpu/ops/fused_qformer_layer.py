@@ -41,8 +41,12 @@ NEG_INF = -1e9
 # rows per grid step; must be a multiple of K (items never straddle tiles).
 # 256 rows with input-dtype (bf16) qkv/ctx buffers fits the whole block
 # (weights 8MB + activations) under the 16MB VMEM budget at production
-# width D=1024.
+# width D=1024.  Round-8 tile sweep (scripts/probe_attn_tiles.py): the
+# SELF block wins at 512 rows with the scoped limit raised (10.05 ->
+# 9.30 ms; 1024 regresses), the cross block is exactly neutral at 512 —
+# so self gets its own default and cross/FFN-chunked keep 256.
 _TILE_ROWS = 256
+_SELF_TILE_ROWS = 512
 
 
 def _layer_norm_rows(x32, gamma, beta, eps):
@@ -243,7 +247,8 @@ def _row2d(b):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "n_q", "ln_eps", "interpret")
+    jax.jit,
+    static_argnames=("num_heads", "n_q", "ln_eps", "interpret", "tile_rows"),
 )
 def fused_self_attention_block(
     x: jax.Array,          # [B, K, D]
@@ -258,19 +263,22 @@ def fused_self_attention_block(
     n_q: int,
     ln_eps: float = 1e-12,
     interpret: bool = False,
+    tile_rows: int = None,
 ) -> jax.Array:
     """LayerNorm(x + W_o·SelfAttn(x)) with items packed into MXU tiles.
 
     Queries are never masked in the item Q-Former
     (reference: models/qformer_utils.py:43), so the only mask is the static
-    per-item block diagonal.
+    per-item block diagonal.  ``tile_rows`` overrides the 256-row default
+    (probing; larger tiles need the scoped-VMEM limit scaled below).
     """
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, k, d = x.shape
     assert k == n_q and d % num_heads == 0
-    tile = _TILE_ROWS if _TILE_ROWS % n_q == 0 else n_q
+    rows_cfg = tile_rows or _SELF_TILE_ROWS
+    tile = rows_cfg if rows_cfg % n_q == 0 else n_q
     rows = b * k
     pad_rows = (-rows) % tile
     xf = x.reshape(rows, d)
@@ -303,6 +311,9 @@ def fused_self_attention_block(
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((tile, d), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=16 * max(1, tile // 256) * 1024 * 1024
+        ),
         interpret=interpret,
     )(xf, wqkv, _row2d(bqkv), wo, _row2d(bo), _row2d(ln_gamma),
       _row2d(ln_beta))
@@ -311,7 +322,9 @@ def fused_self_attention_block(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "n_q", "n_kv", "ln_eps", "interpret"),
+    static_argnames=(
+        "num_heads", "n_q", "n_kv", "ln_eps", "interpret", "tile_rows",
+    ),
 )
 def fused_cross_attention_block(
     x: jax.Array,          # [B, K, D] queries
@@ -331,15 +344,19 @@ def fused_cross_attention_block(
     n_kv: int,
     ln_eps: float = 1e-12,
     interpret: bool = False,
+    tile_rows: int = None,
 ) -> jax.Array:
-    """LayerNorm(x + W_o·CrossAttn(x -> mem)) with packed items."""
+    """LayerNorm(x + W_o·CrossAttn(x -> mem)) with packed items.
+
+    ``tile_rows`` overrides the 256-row default (probing)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, k, d = x.shape
     f, dm = mem.shape[1], mem.shape[2]
     assert k == n_q and f == n_kv
-    tile = _TILE_ROWS if _TILE_ROWS % n_q == 0 else n_q
+    rows_cfg = tile_rows or _TILE_ROWS
+    tile = rows_cfg if rows_cfg % n_q == 0 else n_q
     p_items = tile // n_q
     pad_b = (-b) % p_items
     if pad_b:
@@ -392,6 +409,9 @@ def fused_cross_attention_block(
         ),
         out_shape=jax.ShapeDtypeStruct(xf.shape, x.dtype),
         scratch_shapes=[pltpu.VMEM((tile, d), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=16 * max(1, tile // 256) * 1024 * 1024
+        ),
         interpret=interpret,
     )(xf, memf, wq, _row2d(bq), wkv, _row2d(bkv), wo, _row2d(bo),
       _row2d(ln_gamma), _row2d(ln_beta), kbias)
