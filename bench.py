@@ -110,10 +110,10 @@ def bench_item_token_generation(
 
 
 def main() -> None:
-    # Headline precision: int8 W8A8 fused kernels (round 3) — 18.0k items/s
-    # vs 13.2k bf16.  Quality at the production config vs the strict fp32
+    # Headline precision: int8 W8A8 fused kernels — 20.5k items/s vs 14.0k
+    # bf16 (round 8).  Quality at the production config vs the strict fp32
     # path (scripts/measure_int8_quality.py, BASELINE.md): per-token cosine
-    # 0.9995 mean / 0.9993 min (bf16 engine: 0.99995).  The library default
+    # 0.99948 mean / 0.99927 min (bf16 engine: 0.99995).  The library default
     # for inference remains bf16; int8 is explicit opt-in
     # (QFormerInference(precision="int8"), tokens CLI --precision int8).
     # Override: `python bench.py bf16` or BENCH_PRECISION=bf16.
