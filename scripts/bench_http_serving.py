@@ -181,6 +181,8 @@ def main():
             b0, s0 = batcher.batches_run, batcher.requests_served
             d0, i0 = batcher.device_time_s, batcher.idle_time_s
             sub0, fin0 = batcher.submit_time_s, batcher.finalize_time_s
+            hp0, hw0, hr0 = (batcher.handler_parse_s, batcher.handler_wait_s,
+                             batcher.handler_respond_s)
             cpu0 = os.times()
             t0 = time.time()
             outs = spawn_clients(port, args.clients, args.requests, n, hot,
@@ -220,6 +222,23 @@ def main():
                 f"shed={sheds} (server latency view: "
                 f"{batcher.latency_quantiles()}; submit phases: "
                 f"{dict(rec.submit_phase_s)})",
+                flush=True,
+            )
+            client_cpu = sum(o.get("cpu_s", 0.0) for o in outs)
+            print(
+                f"HOST {mode} {phase} span_s={span:.2f} "
+                f"server_cpu_s="
+                f"{cpu1.user-cpu0.user+cpu1.system-cpu0.system:.2f} "
+                f"client_cpu_s={client_cpu:.2f} "
+                f"core_utilization="
+                f"{(cpu1.user-cpu0.user+cpu1.system-cpu0.system+client_cpu)/max(span,1e-9):.2f} "
+                f"handler_parse_s={batcher.handler_parse_s-hp0:.3f} "
+                f"handler_wait_s={batcher.handler_wait_s-hw0:.2f} "
+                f"handler_respond_s={batcher.handler_respond_s-hr0:.3f} "
+                f"per_req_parse_us="
+                f"{(batcher.handler_parse_s-hp0)/max(total,1)*1e6:.0f} "
+                f"per_req_respond_us="
+                f"{(batcher.handler_respond_s-hr0)/max(total,1)*1e6:.0f}",
                 flush=True,
             )
             rec.submit_phase_s.clear()

@@ -39,6 +39,10 @@ def main():
     p.add_argument("--int8-base", action="store_true",
                    help="QLoRA-style W8A8 frozen-base training forward "
                         "(ops/int8_ste.py)")
+    p.add_argument("--no-int8-fused", dest="int8_fused",
+                   action="store_false", default=None,
+                   help="force the per-projection XLA int8 STE path (A/B "
+                        "baseline for the fused q|k|v / gate|up kernels)")
     args = p.parse_args()
 
     from unirec_tpu.configs import (
@@ -69,6 +73,7 @@ def main():
         else None,
         bf16_base=args.bf16_base and args.bf16,
         int8_base=args.int8_base,
+        int8_fused=args.int8_fused,
     )
     t0 = time.time()
     state = trainer.init_state()
@@ -112,6 +117,7 @@ def main():
         f"RESULT batch={b} seq={l} remat={args.remat} policy={args.policy} "
         f"bf16={args.bf16} bf16_base={args.bf16_base} "
         f"flash_vjp={args.flash_vjp} int8_base={args.int8_base} "
+        f"int8_fused={trainer.int8_fused} "
         f"ms_per_step={dt*1000:.1f} samples_per_s={b/dt:.1f} "
         f"loss={loss:.4f}",
         flush=True,

@@ -60,6 +60,9 @@ def main():
 
         print("READY", flush=True)
         sys.stdin.readline()  # GO
+    import os
+
+    ct0 = os.times()  # exclude interpreter startup from the CPU accounting
     t_start = time.time()
     for body in bodies:
         t0 = time.time()
@@ -90,11 +93,16 @@ def main():
         latencies.append(time.time() - t0)
     total = time.time() - t_start
     conn.close()
+    ct = os.times()
     print(json.dumps({
         "requests": args.requests,
         "errors": errors,
         "sheds": sheds,
         "total_s": total,
+        # this client's own CPU seconds: on the shared 1-core host the load
+        # generators compete with the server for the core, so the serving
+        # attribution (VERDICT r4 #4) must count them
+        "cpu_s": (ct.user - ct0.user) + (ct.system - ct0.system),
         "t_start": t_start,
         "t_end": t_start + total,
         "latencies_ms": [round(1000 * x, 2) for x in latencies],

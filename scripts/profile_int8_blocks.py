@@ -39,6 +39,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 D = 1024
 K = 32
 F = 14
+MEM = 1024  # cross-attention memory width (production field_embedding_dim)
 HEADS = 16
 INTER = 4096
 N_SELF = 12
@@ -126,7 +127,7 @@ def main():
         return jax.random.normal(next(ks), shape, jnp.float32) * 0.05
 
     x = mk(b, K, D).astype(jnp.bfloat16)
-    mem = mk(b, F, D).astype(jnp.bfloat16)
+    mem = mk(b, F, MEM).astype(jnp.bfloat16)
     key_bias = jnp.zeros((b, F), jnp.float32)
 
     wqkv = mk(D, 3 * D)
@@ -137,7 +138,7 @@ def main():
     be = jnp.zeros((D,), jnp.float32)
     wq = mk(D, D)
     bq = mk(D)
-    wkv = mk(D, 2 * D)
+    wkv = mk(MEM, 2 * D)
     bkv = mk(2 * D)
     w1 = mk(D, INTER)
     b1 = mk(INTER)
@@ -155,7 +156,7 @@ def main():
     # analytic per-block matmul GFLOP (x2 for MAC) at this batch
     gf_self = rows * D * (3 * D + D) * 2 / 1e9          # QKV + out
     gf_self_attn = rows * K * (D + D) * 2 / 1e9          # scores + AV
-    gf_cross = (rows * D * (D + D) + b * F * D * 2 * D) * 2 / 1e9
+    gf_cross = (rows * D * (D + D) + b * F * MEM * 2 * D) * 2 / 1e9
     gf_cross_attn = rows * F * (D + D) * 2 / 1e9
     gf_ffn = rows * D * INTER * 2 * 2 / 1e9
 
@@ -256,8 +257,10 @@ def main():
                 floor = (rows * D * 3 * D * 2 / 1e9 / rates["wide"]
                          + rows * D * D * 2 / 1e9 / rates["narrow"])
             elif name == "cross":
+                # kv-projection term uses the ACTUAL memory width, not D
+                # (ADVICE r4: the two only coincide at the production config)
                 floor = (rows * D * D * 2 * 2 / 1e9 / rates["narrow"]
-                         + b * F * D * 2 * D * 2 / 1e9 / rates["kv"])
+                         + b * F * MEM * 2 * D * 2 / 1e9 / rates["kv"])
             else:
                 floor = gf / rates["narrow"]
             floor += attn_ms

@@ -1,0 +1,119 @@
+"""One-command quality-gate runner (VERDICT r4 #7).
+
+Kernel-default changes are supposed to re-run the quality gates (CLAUDE.md);
+this makes the invariant mechanical: run the cheap gates, print one
+machine-readable PASS/FAIL line at the end.
+
+Gates:
+  engine   — int8/bf16 fused Q-Former engine per-token cosine vs fp32
+             (scripts/measure_int8_quality.py; needs the TPU, gate:
+             cos_min >= 0.999 for both precisions)
+  parity   — the CPU parity/numerics suites most sensitive to kernel
+             changes (fused Q-Former blocks, fused Qwen3, quantization,
+             activation-level Q-Former parity)
+  converge — `--int8-base` joint convergence vs exact from identical init
+             (scripts/int8_base_convergence.py, CPU; gate: |ΔRecall@10|
+             and |ΔMRR| <= 0.05 — numerics-change tolerance, not noise)
+
+Usage:
+  python scripts/quality_gates.py [--skip-engine] [--skip-converge]
+Exit code 0 = all gates green.
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PARITY_TESTS = [
+    "tests/test_fused_qformer.py",
+    "tests/test_fused_int8.py",
+    "tests/test_fused_qwen3.py",
+    "tests/test_quantization.py",
+    "tests/test_parity_qformer.py",
+]
+
+
+def run(cmd, env=None, timeout=3600):
+    e = dict(os.environ)
+    e.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+    if env:
+        e.update(env)
+    t0 = time.time()
+    p = subprocess.run(cmd, cwd=REPO, env=e, capture_output=True, text=True,
+                       timeout=timeout)
+    return p, time.time() - t0
+
+
+def gate_engine():
+    p, dt = run([sys.executable, "scripts/measure_int8_quality.py"])
+    mins = dict(re.findall(r"QUALITY (\w+): .*cos_min=([0-9.]+)", p.stdout))
+    ok = (p.returncode == 0 and len(mins) == 2
+          and all(float(v) >= 0.999 for v in mins.values()))
+    detail = ",".join(f"{k}_cos_min={v}" for k, v in sorted(mins.items()))
+    return ok, detail or p.stdout.strip()[-200:] or p.stderr.strip()[-200:], dt
+
+
+def gate_parity():
+    p, dt = run([sys.executable, "-m", "pytest", "-x", "-q", *PARITY_TESTS])
+    tail = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else "?"
+    return p.returncode == 0, tail, dt
+
+
+def gate_converge():
+    p, dt = run([sys.executable, "scripts/int8_base_convergence.py"],
+                env={"JAX_PLATFORMS": "cpu"})
+    ok, detail = False, p.stderr.strip()[-200:]
+    for line in reversed(p.stdout.strip().splitlines()):
+        try:
+            j = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if "exact" in j and "int8_base" in j:
+            dr = abs(j["exact"]["recall@10"] - j["int8_base"]["recall@10"])
+            dm = abs(j["exact"]["mrr"] - j["int8_base"]["mrr"])
+            ok = p.returncode == 0 and dr <= 0.05 and dm <= 0.05
+            detail = f"d_recall@10={dr:.4f},d_mrr={dm:.4f}"
+            break
+    return ok, detail, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-engine", action="store_true",
+                    help="skip the TPU engine-quality gate (CPU-only host)")
+    ap.add_argument("--skip-converge", action="store_true")
+    args = ap.parse_args()
+
+    gates = [("parity", gate_parity)]
+    if not args.skip_engine:
+        gates.insert(0, ("engine", gate_engine))
+    if not args.skip_converge:
+        gates.append(("converge", gate_converge))
+
+    results = {}
+    for name, fn in gates:
+        print(f"[gate {name}] running...", flush=True)
+        try:
+            ok, detail, dt = fn()
+        except Exception as exc:  # noqa: BLE001 — a crashed gate is a FAIL
+            ok, detail, dt = False, f"crashed: {exc}", 0.0
+        results[name] = ok
+        print(f"[gate {name}] {'PASS' if ok else 'FAIL'} ({dt:.0f}s) "
+              f"{detail}", flush=True)
+
+    overall = all(results.values())
+    line = " ".join(f"{k}={'PASS' if v else 'FAIL'}"
+                    for k, v in results.items())
+    print(f"QUALITY_GATES {'PASS' if overall else 'FAIL'} {line}",
+          flush=True)
+    sys.exit(0 if overall else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,131 @@ def test_model_fused_falls_back_without_qweights():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def _lora_cfg():
+    from unirec_tpu.configs import LoRAConfig
+
+    return LoRAConfig(r=4, alpha=8, dropout=0.0)
+
+
+def test_fused_training_matches_per_projection_ste_forward():
+    """fused_int8_training (one wide q|k|v / gate|up STE matmul) must
+    reproduce the per-projection int8 STE path with LoRA present — same
+    quant math, shared row-quant pass."""
+    from unirec_tpu.models.qwen3 import Qwen3Model
+
+    cfg = _aligned_cfg(fused_int8_training=True)
+    ref_cfg = _aligned_cfg()
+    lora = _lora_cfg()
+    model = Qwen3Model(cfg, lora=lora)
+    ref = Qwen3Model(ref_cfg, lora=lora)
+    rng = np.random.RandomState(5)
+    ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (8, 64)), jnp.int32)
+    mask = jnp.ones((8, 64), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    # non-zero lora_b so the overlay actually contributes
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: (
+            jnp.asarray(
+                rng.randn(*x.shape).astype(np.float32) * 0.02
+            ) if "lora_b" in "/".join(str(k) for k in p) else x
+        ),
+        params,
+    )
+    qw = quantize_qwen3_weights(params)
+    a = model.apply({"params": params, "qweights": qw}, ids, mask,
+                    deterministic=True)
+    b = ref.apply({"params": params, "qweights": qw}, ids, mask,
+                  deterministic=True)
+    a = np.asarray(a, np.float32).reshape(-1, D)
+    b = np.asarray(b, np.float32).reshape(-1, D)
+    np.testing.assert_allclose(a, b, atol=2e-2)
+    cos = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9
+    )
+    assert cos.min() > 0.9999, cos.min()
+
+
+def test_fused_training_grads_match_per_projection_ste():
+    """LoRA gradients through the fused STE path must match the
+    per-projection STE path (same STE semantics: dx through the
+    dequantized weights, no base dW)."""
+    from unirec_tpu.models.qwen3 import Qwen3Model
+
+    cfg = _aligned_cfg(fused_int8_training=True)
+    lora = _lora_cfg()
+    model = Qwen3Model(cfg, lora=lora)
+    ref = Qwen3Model(_aligned_cfg(), lora=lora)
+    rng = np.random.RandomState(6)
+    ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (8, 64)), jnp.int32)
+    mask = jnp.ones((8, 64), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), ids, mask)["params"]
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: (
+            jnp.asarray(
+                rng.randn(*x.shape).astype(np.float32) * 0.02
+            ) if "lora_b" in "/".join(str(k) for k in p) else x
+        ),
+        params,
+    )
+    qw = quantize_qwen3_weights(params)
+
+    def loss(m):
+        def f(p):
+            out = m.apply({"params": p, "qweights": qw}, ids, mask,
+                          deterministic=True)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    ga = jax.grad(loss(model))(params)
+    gb = jax.grad(loss(ref))(params)
+
+    checked = 0
+    flat_a = jax.tree_util.tree_flatten_with_path(ga)[0]
+    flat_b = {tuple(str(k) for k in p): v
+              for p, v in jax.tree_util.tree_flatten_with_path(gb)[0]}
+    for path, va in flat_a:
+        key = tuple(str(k) for k in path)
+        joined = "/".join(key)
+        if "lora_a" not in joined and "lora_b" not in joined:
+            continue
+        vb = flat_b[key]
+        na = np.asarray(va, np.float32).ravel()
+        nb = np.asarray(vb, np.float32).ravel()
+        denom = np.linalg.norm(na) * np.linalg.norm(nb)
+        if denom < 1e-12:
+            continue
+        cos = float((na * nb).sum() / denom)
+        assert cos > 0.999, (joined, cos)
+        checked += 1
+    assert checked >= 8  # lora grads on q/k/v/o/gate/up/down across layers
+
+
+def test_fused_ste_xla_impl_matches_pallas_impl():
+    """FUSED_STE_IMPL='xla' (one wide XLA int8 dot) must match the pallas
+    kernel impl bit-for-bit — same reciprocal-multiply quant form."""
+    from unirec_tpu.ops import fused_qwen3_int8 as mod
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(ROWS, D).astype(np.float32) * 0.3)
+    w = rng.randn(D, 3 * D).astype(np.float32) * 0.05
+    wq, ws = _quant_cols(w)
+    old = mod.FUSED_STE_IMPL
+    try:
+        mod.FUSED_STE_IMPL = "pallas"
+        a = np.asarray(mod.int8_linear_fused_ste(x, wq, ws), np.float32)
+        ga = jax.grad(lambda xx: jnp.sum(
+            mod.int8_linear_fused_ste(xx, wq, ws) ** 2))(x)
+        mod.FUSED_STE_IMPL = "xla"
+        b = np.asarray(mod.int8_linear_fused_ste(x, wq, ws), np.float32)
+        gb = jax.grad(lambda xx: jnp.sum(
+            mod.int8_linear_fused_ste(xx, wq, ws) ** 2))(x)
+    finally:
+        mod.FUSED_STE_IMPL = old
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               atol=1e-4, rtol=1e-5)
+
+
 def test_model_fused_falls_back_on_ragged_rows():
     """Rows not divisible by the 512-row tile take the XLA path (decode
     shapes, tiny eval batches)."""

@@ -375,6 +375,15 @@ class Qwen3Config:
     # LoRA merged/absent (Recommender(precision="int8", merge_lora=True)
     # sets this).  XLA per-projection int8 dots otherwise.
     fused_int8_inference: bool = False
+    # Fused int8 TRAINING projections (`--int8-base` joint training): the
+    # frozen base's q|k|v and gate|up projections run as ONE wide int8
+    # matmul each (ops/fused_qwen3_int8.int8_linear_fused_ste) with an STE
+    # backward; LoRA overlays stay XLA/exact on top.  Engages only when the
+    # qweights collection is present and rows tile evenly; o/down stay on
+    # the per-projection STE path.  MEASURED SLOWER than the per-projection
+    # default at the joint shape (BASELINE.md round 9: XLA CSE already
+    # shares the quant pass) — kept as an opt-in A/B probe, not a default.
+    fused_int8_training: bool = False
 
     @property
     def q_size(self) -> int:

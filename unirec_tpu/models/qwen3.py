@@ -82,14 +82,27 @@ class LoRADense(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        deterministic: bool = True,
+        y_base: Optional[jax.Array] = None,
+    ) -> jax.Array:
         in_dim = x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.normal(stddev=0.02),
             (in_dim, self.features),
         )
-        if self.has_variable("qweights", "kernel_q"):
+        if y_base is not None:
+            # The parent computed the frozen-base projection through a fused
+            # kernel spanning several modules (e.g. one wide q|k|v int8
+            # matmul, ops/fused_qwen3_int8.int8_linear_fused_ste); this
+            # module only contributes bias + LoRA on top.  The kernel param
+            # above is still created so the tree/checkpoint layout is
+            # independent of the dispatch.
+            y = y_base
+        elif self.has_variable("qweights", "kernel_q"):
             # int8 W8A8 inference path (serving opt-in): pre-quantized int8
             # weights ride the MXU's 2x int8 throughput; activations are
             # quantized per row at trace time.  Provide the collection via
@@ -199,9 +212,50 @@ class Qwen3Attention(nn.Module):
             )
             v = qkv[:, cfg.q_size + cfg.kv_size:].reshape(b, l, cfg.kv_size)
         else:
-            q = q_mod(hidden, deterministic)
-            k = k_mod(hidden, deterministic)
-            v = v_mod(hidden, deterministic)
+            fused_ste = False
+            if cfg.fused_int8_training:
+                from unirec_tpu.ops.fused_qwen3_int8 import (
+                    supports_fused_qwen3,
+                )
+
+                fused_ste = supports_fused_qwen3(b * l, cfg.hidden_size)
+            if fused_ste:
+                q_mod(hidden[:, :1, :], deterministic)  # bind params; DCE'd
+                k_mod(hidden[:, :1, :], deterministic)
+                v_mod(hidden[:, :1, :], deterministic)
+                fused_ste = all(
+                    "qweights" in m.variables for m in (q_mod, k_mod, v_mod)
+                )
+            if fused_ste:
+                # TRAINING fused path (`--int8-base`): the frozen base's
+                # q|k|v run as ONE wide int8 matmul with a shared
+                # activation-quant pass and an STE backward; bias + LoRA
+                # are layered on by the modules (y_base).
+                from unirec_tpu.ops.fused_qwen3_int8 import (
+                    int8_linear_fused_ste,
+                )
+
+                qw = [m.variables["qweights"] for m in (q_mod, k_mod, v_mod)]
+                qkv = int8_linear_fused_ste(
+                    hidden.reshape(b * l, cfg.hidden_size).astype(self.dtype),
+                    jnp.concatenate([w["kernel_q"] for w in qw], axis=1),
+                    jnp.concatenate(
+                        [w["kernel_scale"].reshape(-1) for w in qw]
+                    ).astype(jnp.float32),
+                )
+                q = q_mod(hidden, deterministic,
+                          y_base=qkv[:, : cfg.q_size].reshape(
+                              b, l, cfg.q_size))
+                k = k_mod(hidden, deterministic,
+                          y_base=qkv[:, cfg.q_size: cfg.q_size + cfg.kv_size
+                                     ].reshape(b, l, cfg.kv_size))
+                v = v_mod(hidden, deterministic,
+                          y_base=qkv[:, cfg.q_size + cfg.kv_size:].reshape(
+                              b, l, cfg.kv_size))
+            else:
+                q = q_mod(hidden, deterministic)
+                k = k_mod(hidden, deterministic)
+                v = v_mod(hidden, deterministic)
 
         q = q.reshape(b, l, hq, hd)
         k = k.reshape(b, l, hkv, hd)
@@ -349,8 +403,46 @@ class Qwen3MLP(nn.Module):
             )
             return out.reshape(b, l, d)
 
-        gate = gate_mod(x, deterministic)
-        up = up_mod(x, deterministic)
+        fused_ste = False
+        if cfg.fused_int8_training:
+            from unirec_tpu.ops.fused_qwen3_int8 import supports_fused_qwen3
+
+            fused_ste = supports_fused_qwen3(
+                x.shape[0] * x.shape[1], cfg.hidden_size,
+                cfg.intermediate_size,
+            )
+        if fused_ste:
+            gate_mod(x[:, :1, :], deterministic)  # bind params; DCE'd
+            up_mod(x[:, :1, :], deterministic)
+            fused_ste = all(
+                "qweights" in m.variables for m in (gate_mod, up_mod)
+            )
+        if fused_ste:
+            # TRAINING fused path: gate|up as ONE wide int8 matmul (shared
+            # activation quant, STE backward); silu/elementwise stay XLA
+            # because LoRA perturbs gate/up BEFORE the nonlinearity, so the
+            # inference whole-MLP kernel's silu(base)*base would be wrong
+            # here.  down keeps the per-projection STE path.
+            from unirec_tpu.ops.fused_qwen3_int8 import int8_linear_fused_ste
+
+            b, l, d = x.shape
+            inter = cfg.intermediate_size
+            gw = gate_mod.variables["qweights"]
+            uw = up_mod.variables["qweights"]
+            gu = int8_linear_fused_ste(
+                x.reshape(b * l, d).astype(self.dtype),
+                jnp.concatenate([gw["kernel_q"], uw["kernel_q"]], axis=1),
+                jnp.concatenate([gw["kernel_scale"].reshape(-1),
+                                 uw["kernel_scale"].reshape(-1)]
+                                ).astype(jnp.float32),
+            )
+            gate = gate_mod(x, deterministic,
+                            y_base=gu[:, :inter].reshape(b, l, inter))
+            up = up_mod(x, deterministic,
+                        y_base=gu[:, inter:].reshape(b, l, inter))
+        else:
+            gate = gate_mod(x, deterministic)
+            up = up_mod(x, deterministic)
         h = nn.silu(gate) * up
         return down_mod(h, deterministic)
 

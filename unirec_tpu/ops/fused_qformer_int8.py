@@ -311,9 +311,11 @@ def fused_self_attention_block_q(
         scratch_shapes=[pltpu.VMEM((tile, d), jnp.bfloat16)],
         # [tile, 3D] int32 qkv accumulator dominates; 512-row tiles need
         # the scoped limit above the 16MB default (v5e: 128MB physical);
-        # probe tiles beyond 512 scale it further
+        # probe tiles beyond 512 scale the row-proportional part with a
+        # ceil so non-multiples (e.g. 768) are not under-provisioned
+        # (ADVICE r4); never below the measured 48MB 512-tile floor
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=min(100, 48 * max(1, tile // 512))
+            vmem_limit_bytes=min(100, max(48, (48 * tile + 511) // 512))
             * 1024 * 1024
         ),
         interpret=interpret,

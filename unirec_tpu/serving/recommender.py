@@ -149,8 +149,13 @@ class Recommender:
         # per-phase host wall time inside recommend_submit (serving-bench
         # attribution; see recommend_submit docstring)
         from collections import defaultdict
+        import threading
 
         self.submit_phase_s = defaultdict(float)
+        # the float += below is not atomic; correct under the single
+        # MicroBatcher dispatcher thread, but direct multi-threaded
+        # recommend() callers would drop samples without this (ADVICE r4)
+        self._phase_lock = threading.Lock()
         if mesh is not None:
             self.params = params = replicate(mesh, params)
 
@@ -439,8 +444,9 @@ class Recommender:
         )
         s, ix = self._retrieve(users_dev, fetch)
         t2 = _time.perf_counter()
-        self.submit_phase_s["encode"] += t1 - t0
-        self.submit_phase_s["retrieve"] += t2 - t1
+        with self._phase_lock:
+            self.submit_phase_s["encode"] += t1 - t0
+            self.submit_phase_s["retrieve"] += t2 - t1
         return (s, ix, [n for _, n in chunks], histories, k, exclude_history)
 
     def recommend_finalize(self, handle) -> List[List[Recommendation]]:

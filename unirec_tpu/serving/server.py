@@ -17,6 +17,7 @@ eval surface, not the QPS path).
 from __future__ import annotations
 
 import json
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from unirec_tpu.serving.batching import MicroBatcher, ServerOverloaded
@@ -51,6 +52,9 @@ def make_handler(recommender: Recommender, batcher: MicroBatcher):
                         "finalize_time_s": batcher.finalize_time_s,
                         "requests_shed": batcher.requests_shed,
                         "max_queued": batcher.max_queued,
+                        "handler_parse_s": batcher.handler_parse_s,
+                        "handler_wait_s": batcher.handler_wait_s,
+                        "handler_respond_s": batcher.handler_respond_s,
                         # end-to-end latency quantiles over the last <=4096
                         # requests: every throughput reading carries its tail
                         "latency": batcher.latency_quantiles(),
@@ -60,12 +64,14 @@ def make_handler(recommender: Recommender, batcher: MicroBatcher):
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
+            t_in = time.perf_counter()
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
             except Exception as e:
                 self._send(400, {"error": f"bad json: {e}"})
                 return
+            t_parsed = time.perf_counter()
             try:
                 if self.path == "/recommend":
                     history = req.get("history", [])
@@ -97,6 +103,7 @@ def make_handler(recommender: Recommender, batcher: MicroBatcher):
                         self.end_headers()
                         self.wfile.write(body)
                         return
+                    t_done = time.perf_counter()
                     self._send(
                         200,
                         {"items": [
@@ -104,6 +111,13 @@ def make_handler(recommender: Recommender, batcher: MicroBatcher):
                             for r in recs
                         ]},
                     )
+                    t_out = time.perf_counter()
+                    # host-phase attribution (VERDICT r4 #4): parse /
+                    # batcher wait / response build+write, per request
+                    with batcher._acct:
+                        batcher.handler_parse_s += t_parsed - t_in
+                        batcher.handler_wait_s += t_done - t_parsed
+                        batcher.handler_respond_s += t_out - t_done
                 elif self.path == "/score":
                     ranking = recommender.score_candidates(
                         req.get("history", []), req.get("candidates", [])

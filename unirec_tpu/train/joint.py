@@ -342,8 +342,27 @@ class JointTrainer:
     # grads stay full-precision exact.  Changes training numerics (opt-in);
     # eval forwards stay full precision.
     int8_base: bool = False
+    # Fused int8 training projections (ops/fused_qwen3_int8
+    # .int8_linear_fused_ste): q|k|v and gate|up of the frozen base each run
+    # as ONE wide int8 matmul with a shared activation-quant pass.
+    # MEASURED SLOWER than the per-projection default (107.1 vs 113.9 pallas
+    # / 114.6 XLA-wide ms/step, scripts/ab_int8_fused.py, BASELINE.md round
+    # 9): XLA CSE already de-duplicates the per-projection quant (1 round op
+    # in the optimized HLO for q/k/v), so the fused path only changes matmul
+    # granularity — for the worse.  None = auto (stays OFF); True opt-in
+    # reproduces the A/B.  Same STE semantics either way.
+    int8_fused: Optional[bool] = None
 
     def __post_init__(self):
+        if self.int8_fused is None:
+            self.int8_fused = False
+        if self.int8_fused and not self.int8_base:
+            raise ValueError("int8_fused requires int8_base (it is a "
+                             "dispatch choice within the W8A8 training path)")
+        if self.int8_fused:
+            self.qwen_config = dataclasses.replace(
+                self.qwen_config, fused_int8_training=True
+            )
         if self.bf16_base and self.dtype != "bfloat16":
             # mirror the CLI guard: under an fp32 compute path a bf16 frozen
             # base would silently degrade the strict-parity numerics
