@@ -167,6 +167,7 @@ def main():
     results = {}
 
     rates = {}
+    rates_b = {}
     if args.floor:
         # same-grant pure-matmul rate through Mosaic at the blocks' own
         # matmul shapes (512-row tiles, weights VMEM-resident): the honest
@@ -187,6 +188,27 @@ def main():
         print(f"  same-grant Mosaic int8 rates: "
               f"wide {rates['wide']:.0f} / kv {rates['kv']:.0f} / "
               f"narrow {rates['narrow']:.0f} TOP/s", flush=True)
+        if not args.skip_bf16:
+            # bf16 floors for the DEFAULT engine (VERDICT r4 #3) — the FFN
+            # gets its two real shapes (up [D,I], down [I,D]) instead of the
+            # int8 convention of pricing both at the narrow rate
+            for name, k_dim, n_dim in [
+                ("wide", D, 3 * D), ("narrow", D, D), ("kv", D, 2 * D),
+                ("up", D, INTER), ("down", INTER, D),
+            ]:
+                gop = rows * k_dim * n_dim * 2 / 1e9
+                kx, kw = jax.random.split(
+                    jax.random.fold_in(key, 131 + k_dim + n_dim))
+                xb = jax.random.normal(kx, (rows, k_dim), jnp.bfloat16)
+                wb = jax.random.normal(kw, (k_dim, n_dim), jnp.bfloat16)
+                fn = bmm.make_mm(512, k_dim, n_dim, n_tiles, jnp.bfloat16,
+                                 jnp.float32)
+                dt = bench(fn, (xb, wb), args.steps,
+                           f"floor bf16 [512x{k_dim}]x[{k_dim}x{n_dim}]")
+                rates_b[name] = gop / dt  # TFLOP/s
+            print("  same-grant Mosaic bf16 rates: "
+                  + " / ".join(f"{k} {v:.0f}" for k, v in rates_b.items())
+                  + " TFLOP/s", flush=True)
 
     self_q = jax.jit(lambda xx, *w: fused_self_attention_block_q(
         xx, *w, num_heads=HEADS, n_q=K,
@@ -279,6 +301,23 @@ def main():
         for name in ["self", "cross", "ffn"]:
             q, bb = results[f"{name}_q"], results[f"{name}_b"]
             print(f"  {name}: int8/bf16 speedup {bb/q:.2f}x")
+        if rates_b:
+            print("\n--- bf16 floors (VERDICT r4 #3) ---")
+            floors_b = {
+                "self": (rows * D * 3 * D * 2 / 1e9 / rates_b["wide"]
+                         + rows * D * D * 2 / 1e9 / rates_b["narrow"]
+                         + gf_self_attn / BF16_TFLOPS),
+                "cross": (rows * D * D * 2 * 2 / 1e9 / rates_b["narrow"]
+                          + b * F * MEM * 2 * D * 2 / 1e9 / rates_b["kv"]
+                          + gf_cross_attn / BF16_TFLOPS),
+                "ffn": (rows * D * INTER * 2 / 1e9 / rates_b["up"]
+                        + rows * INTER * D * 2 / 1e9 / rates_b["down"]),
+            }
+            for name in ["self", "cross", "ffn"]:
+                t = results[f"{name}_b"]
+                fl = floors_b[name]
+                print(f"  {name} bf16: {t:.2f} ms | same-grant floor "
+                      f"{fl:.2f} ms -> {fl/t*100:.0f}% of floor")
 
 
 if __name__ == "__main__":
