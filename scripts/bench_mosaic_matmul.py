@@ -42,6 +42,16 @@ def make_mm(tile, k_dim, n_dim, n_tiles, in_dtype, acc_dtype):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # scoped-VMEM need: resident weight + acc scratch + out + double-buffered
+    # x stream; the 16 MB default overflows at the wide FFN floor shapes
+    itemsize = jnp.dtype(in_dtype).itemsize
+    vmem_bytes = (k_dim * n_dim * itemsize          # weight
+                  + 2 * tile * n_dim * 4            # acc + out
+                  + 2 * tile * k_dim * itemsize     # x double-buffer
+                  + 4 * 1024 * 1024)                # slack
+    vmem_limit = min(100 * 1024 * 1024,
+                     max(16 * 1024 * 1024, vmem_bytes))
+
     def kernel(x_ref, w_ref, o_ref, acc_ref, *, n_tiles):
         i = pl.program_id(0)
 
@@ -73,6 +83,8 @@ def make_mm(tile, k_dim, n_dim, n_tiles, in_dtype, acc_dtype):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((tile, n_dim), acc_dtype),
             scratch_shapes=[pltpu.VMEM((tile, n_dim), acc_dtype)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit),
         )(x, w)
         return out.astype(jnp.float32).sum()
 
