@@ -200,6 +200,12 @@ def main(argv=None) -> int:
                     "(2x MXU issue rate) with an STE backward "
                     "(ops/int8_ste.py); LoRA/Q-Former grads stay exact. "
                     "Opt-in: changes training numerics like QLoRA does.")
+    sp.add_argument("--lora-grouped", action="store_true",
+                    help="grouped LoRA overlay: q/k/v (and gate/up) share "
+                    "one dropout draw + one concatenated lora_a matmul "
+                    "(LoRAConfig.grouped). Opt-in: dropout masks become "
+                    "correlated within a group (structural numerics "
+                    "change); param layout/checkpoints unchanged.")
     sp.add_argument("--tiny", action="store_true",
                     help="2-layer Qwen3 (hidden 1024) for smoke tests / CPU")
     _common_train_flags(sp, 16, 500, 1e-4)
@@ -608,7 +614,9 @@ def _run_joint(args) -> int:
         # no-remat; combined with remat-dots it OOMs (BASELINE.md round 3)
         bf16_base = not remat
     trainer = JointTrainer(
-        qwen_cfg, inf.config, jc, lora=LoRAConfig(), train_config=tc,
+        qwen_cfg, inf.config, jc,
+        lora=LoRAConfig(grouped=getattr(args, "lora_grouped", False)),
+        train_config=tc,
         dtype="bfloat16" if args.bf16 else "float32",
         remat=remat,
         remat_policy="dots",  # keep GEMM outputs: 574 vs 665 ms/step measured

@@ -416,6 +416,18 @@ class LoRAConfig:
     r: int = 16
     alpha: float = 32.0
     dropout: float = 0.1
+    # Grouped overlay (opt-in, `train joint --lora-grouped`): projections
+    # sharing an input (q/k/v; gate/up) draw ONE dropout mask and run ONE
+    # concatenated lora_a matmul [D, 3r] instead of three [D, r] — the
+    # input tensor is read once per group instead of once per projection
+    # on BOTH the forward and the dW_a backward.  The joint-step
+    # dissection (BASELINE.md round 9) measured the per-projection
+    # overlay at 23.3 ms/step (20% of the flagship step) with the cost in
+    # per-projection HBM traffic, not FLOPs.  Changes training numerics
+    # (dropout masks become correlated within a group — same
+    # "equally-valid bits" class as the rbg RNG switch, but structural),
+    # so it is OFF by default; param layout/checkpoints are unchanged.
+    grouped: bool = False
     target_modules: Tuple[str, ...] = (
         "q_proj",
         "k_proj",

@@ -87,6 +87,7 @@ class LoRADense(nn.Module):
         x: jax.Array,
         deterministic: bool = True,
         y_base: Optional[jax.Array] = None,
+        lora_mid: Optional[jax.Array] = None,
     ) -> jax.Array:
         in_dim = x.shape[-1]
         kernel = self.param(
@@ -131,11 +132,21 @@ class LoRADense(nn.Module):
                 "lora_a", nn.initializers.normal(stddev=1.0 / r), (in_dim, r)
             )
             lora_b = self.param("lora_b", nn.initializers.zeros, (r, self.features))
-            h = x
-            if self.lora.dropout > 0.0 and not deterministic:
-                h = nn.Dropout(self.lora.dropout)(h, deterministic=False)
-            y = y + jnp.dot(jnp.dot(h, lora_a.astype(self.dtype)),
-                            lora_b.astype(self.dtype)) * self.lora.scaling
+            if lora_mid is not None:
+                # Grouped overlay (LoRAConfig.grouped): the parent already
+                # computed drop(h) @ [lora_a of the whole group] in one
+                # matmul and passes this module's [.., r] slice; lora_a
+                # above is the SAME traced leaf the parent read via
+                # .variables, so its gradient flows through the parent's
+                # concat — this branch must not touch x at all.
+                y = y + jnp.dot(lora_mid, lora_b.astype(self.dtype)
+                                ) * self.lora.scaling
+            else:
+                h = x
+                if self.lora.dropout > 0.0 and not deterministic:
+                    h = nn.Dropout(self.lora.dropout)(h, deterministic=False)
+                y = y + jnp.dot(jnp.dot(h, lora_a.astype(self.dtype)),
+                                lora_b.astype(self.dtype)) * self.lora.scaling
         return y
 
 
@@ -253,9 +264,34 @@ class Qwen3Attention(nn.Module):
                           y_base=qkv[:, cfg.q_size + cfg.kv_size:].reshape(
                               b, l, cfg.kv_size))
             else:
-                q = q_mod(hidden, deterministic)
-                k = k_mod(hidden, deterministic)
-                v = v_mod(hidden, deterministic)
+                q_mid = k_mid = v_mid = None
+                if (
+                    self.lora is not None and self.lora.grouped
+                    and lora_on("q_proj") and lora_on("k_proj")
+                    and lora_on("v_proj")
+                ):
+                    # Grouped overlay (LoRAConfig.grouped): q/k/v share
+                    # their input, so ONE dropout draw and ONE [D, 3r]
+                    # lora_a matmul replace three of each — hidden is read
+                    # once per group fwd and once for dW_a bwd.  Params are
+                    # bound by DCE'd 1-token calls; the concat reads the
+                    # modules' own lora_a leaves, so grads flow unchanged.
+                    for m in (q_mod, k_mod, v_mod):
+                        m(hidden[:, :1, :], True)  # bind params; DCE'd
+                    a_cat = jnp.concatenate(
+                        [m.variables["params"]["lora_a"]
+                         for m in (q_mod, k_mod, v_mod)], axis=1)
+                    h = hidden
+                    if self.lora.dropout > 0.0 and not deterministic:
+                        h = nn.Dropout(self.lora.dropout)(
+                            h, deterministic=False)
+                    mid = jnp.dot(h, a_cat.astype(self.dtype))
+                    r = self.lora.r
+                    q_mid, k_mid, v_mid = (
+                        mid[..., :r], mid[..., r:2 * r], mid[..., 2 * r:])
+                q = q_mod(hidden, deterministic, lora_mid=q_mid)
+                k = k_mod(hidden, deterministic, lora_mid=k_mid)
+                v = v_mod(hidden, deterministic, lora_mid=v_mid)
 
         q = q.reshape(b, l, hq, hd)
         k = k.reshape(b, l, hkv, hd)
@@ -441,8 +477,27 @@ class Qwen3MLP(nn.Module):
             up = up_mod(x, deterministic,
                         y_base=gu[:, inter:].reshape(b, l, inter))
         else:
-            gate = gate_mod(x, deterministic)
-            up = up_mod(x, deterministic)
+            g_mid = u_mid = None
+            if (
+                self.lora is not None and self.lora.grouped
+                and lora_on("gate_proj") and lora_on("up_proj")
+            ):
+                # Grouped overlay: gate/up share x — one dropout draw, one
+                # [D, 2r] lora_a matmul (see Qwen3Attention's q/k/v group).
+                for m in (gate_mod, up_mod):
+                    m(x[:, :1, :], True)  # bind params; DCE'd
+                a_cat = jnp.concatenate(
+                    [m.variables["params"]["lora_a"]
+                     for m in (gate_mod, up_mod)], axis=1)
+                hdrop = x
+                if self.lora.dropout > 0.0 and not deterministic:
+                    hdrop = nn.Dropout(self.lora.dropout)(
+                        hdrop, deterministic=False)
+                mid = jnp.dot(hdrop, a_cat.astype(self.dtype))
+                r = self.lora.r
+                g_mid, u_mid = mid[..., :r], mid[..., r:]
+            gate = gate_mod(x, deterministic, lora_mid=g_mid)
+            up = up_mod(x, deterministic, lora_mid=u_mid)
         h = nn.silu(gate) * up
         return down_mod(h, deterministic)
 
