@@ -144,6 +144,13 @@ def main(argv=None) -> int:
                     "and with --bf16 the fastest config at seq 50 too: "
                     "699.7 vs 595.6 samples/s fp32 XLA, BASELINE.md). "
                     "Sets dropout 0.")
+    sp.add_argument("--fused", action="store_true",
+                    help="fused-VJP self-attention blocks "
+                    "(ops/fused_qformer_vjp.py, same kernels as 'train "
+                    "item --fused-anchor'): the fastest seq-50 config in "
+                    "the round-9 dissection (88.4 vs 103.4 ms/step base = "
+                    "724 samples/s; flash 90.0, flash+fused 89.5 — "
+                    "BASELINE.md). Sets dropout 0 like --flash.")
     sp.add_argument("--sp", type=int, default=1,
                     help="sequence parallelism: shard the long-history "
                     "memory axis over N devices (N devices hold Nx the "
@@ -410,8 +417,10 @@ def _dispatch(args) -> int:
             input_embedding_dim=inf.config.hidden_size,
             gradient_checkpointing=getattr(args, "remat", False),
             flash_training=getattr(args, "flash", False),
+            fused_training=getattr(args, "fused", False),
             sequence_parallel=getattr(args, "sp", 1) > 1,
-            dropout=0.0 if getattr(args, "flash", False) else 0.1,
+            dropout=0.0 if (getattr(args, "flash", False)
+                            or getattr(args, "fused", False)) else 0.1,
         )
         _, metrics = train_user_qformer(
             cache, histories, reviews, model, inf.params,
