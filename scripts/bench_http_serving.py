@@ -161,12 +161,23 @@ def main():
 
     hot = max(1, n // 20)
     for mode in args.modes.split(","):
+        # mode syntax: "pipe" | "nopipe", with optional ":wN" (max_wait_ms
+        # override) and ":dN" (settle-queue depth) suffixes, e.g.
+        # "pipe:w8:d2" — all modes share one process/grant for the A/B
+        parts = mode.split(":")
+        wait_ms, depth = args.max_wait_ms, 1
+        for tok in parts[1:]:
+            if tok.startswith("w"):
+                wait_ms = float(tok[1:])
+            elif tok.startswith("d"):
+                depth = int(tok[1:])
         t0 = time.time()
         server, batcher = make_server(
-            rec, port=0, max_wait_ms=args.max_wait_ms, warmup=True,
+            rec, port=0, max_wait_ms=wait_ms, warmup=True,
             freeze_heap=True, max_queued=args.max_queued,
+            settle_depth=depth,
         )
-        batcher.pipeline = mode == "pipe"
+        batcher.pipeline = parts[0] == "pipe"
         port = server.server_address[1]
         print(f"[{mode}] warmup(+compile): {time.time()-t0:.1f}s  "
               f"port={port}", flush=True)

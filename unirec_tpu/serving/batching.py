@@ -56,6 +56,7 @@ class MicroBatcher:
         request_timeout_s: float = 600.0,
         pipeline: bool = True,
         max_queued: Optional[int] = None,
+        settle_depth: int = 1,
     ):
         self.rec = recommender
         self.max_batch = max_batch or recommender.batch_size
@@ -100,9 +101,12 @@ class MicroBatcher:
         self.handler_parse_s = 0.0
         self.handler_wait_s = 0.0
         self.handler_respond_s = 0.0
-        # settle queue depth 1 = at most one batch awaiting finalize while
-        # the next one is collected/submitted (devices hold 2 in flight)
-        self._settle_q: "queue.Queue" = queue.Queue(maxsize=1)
+        # settle queue depth d = at most d batches awaiting finalize while
+        # the next one is collected/submitted (device holds d+1 in flight).
+        # Depth 1 is the shipped default; each extra unit adds up to one
+        # batch service (~160 ms at the production config) to the tail.
+        self._settle_q: "queue.Queue" = queue.Queue(
+            maxsize=max(1, settle_depth))
         # inline settles (adaptive light-load path) can run concurrently
         # with the settler thread; the counter updates need a lock
         self._acct = threading.Lock()

@@ -140,6 +140,7 @@ def make_server(
     warmup: bool = False,
     freeze_heap: bool = False,
     max_queued: int = None,
+    settle_depth: int = 1,
 ):
     """(server, batcher) — caller owns serve_forever/shutdown (tests).
 
@@ -152,7 +153,8 @@ def make_server(
     opt-in."""
     batcher = MicroBatcher(recommender, max_wait_ms=max_wait_ms,
                            request_timeout_s=request_timeout_s,
-                           max_queued=max_queued)
+                           max_queued=max_queued,
+                           settle_depth=settle_depth)
     if warmup:
         batcher.warmup()
     if freeze_heap:
