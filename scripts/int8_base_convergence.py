@@ -105,6 +105,9 @@ def main():
     print(json.dumps({
         "corpus": "convergence_demo default (240 items / 160 users)",
         "steps": 800,
+        # held-out eval size: Recall@10 is quantized in 1/n_test steps, so
+        # gates on it must be granularity-aware (quality_gates.py)
+        "n_test": len(users) - int(0.8 * len(users)),
         "exact": exact,
         "int8_base": q,
     }), flush=True)
