@@ -845,3 +845,37 @@ def test_single_chip_retrieval_is_jitted(recommender):
     # second call reuses the cached callable (no growth)
     recommender.recommend([["item2"]], k=3)
     assert len(recommender._retrievals) == 1
+
+
+def test_batcher_settle_depth_2():
+    """settle_depth=2 (round-9 serving knob): three batches may be in
+    flight; all concurrent requests still complete with correct results
+    and accounting.  (Measured neutral-to-negative on throughput at the
+    production config — BASELINE.md round 9 — but the knob must stay
+    correct for load-shape experiments.)"""
+    from unirec_tpu.serving.batching import MicroBatcher
+
+    rec = _StubRecommender()
+    batcher = MicroBatcher(rec, max_wait_ms=5.0, request_timeout_s=30.0,
+                           settle_depth=2)
+    assert batcher._settle_q.maxsize == 2
+    done, errs = [], []
+
+    def client(i):
+        try:
+            done.append((i, batcher.recommend([f"h{i}"], k=3)))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(24)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errs, errs
+        assert len(done) == 24
+        assert all(len(r) == 3 for _, r in done)
+        assert batcher.requests_served == 24
+    finally:
+        batcher.close()
