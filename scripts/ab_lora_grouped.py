@@ -60,8 +60,10 @@ def run(grouped, int8_base, args, batch_fn):
             mesh=MeshConfig(dp=1, tp=1),
         ),
         dtype="bfloat16",
-        remat=False,
-        bf16_base=True,
+        remat=args.remat,
+        remat_policy="dots",
+        # bf16-base + remat-dots OOMs at batch 16 (BASELINE.md round 3)
+        bf16_base=not args.remat,
         int8_base=int8_base,
     )
     state = trainer.init_state()
@@ -98,6 +100,9 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--int8", action="store_true",
                    help="also A/B under --int8-base")
+    p.add_argument("--remat", action="store_true",
+                   help="A/B at the CLI-default remat-dots config "
+                        "(fp32 base; use --batch 16)")
     args = p.parse_args()
 
     batch_fn = lambda qwen, qf, jc: make_batch(  # noqa: E731
